@@ -1,0 +1,92 @@
+"""Mesh/sharding unit tests on the fake 8-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from videosys_tpu.core.parallel import (
+    MeshPool,
+    ParallelConfig,
+    build_mesh,
+    shard_spatial,
+    shard_temporal,
+    use_mesh,
+)
+
+
+def test_device_count():
+    assert jax.device_count() == 8
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh(ParallelConfig(dp_size=2, cp_size=2, sp_size=2))
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("dp", "cp", "sp")
+
+
+def test_from_world_size_cp_split():
+    cfg = ParallelConfig.from_world_size(8, enable_cp=True)
+    assert (cfg.dp_size, cfg.cp_size, cfg.sp_size) == (1, 2, 4)
+    cfg = ParallelConfig.from_world_size(8, enable_cp=False)
+    assert (cfg.dp_size, cfg.cp_size, cfg.sp_size) == (1, 1, 8)
+
+
+def test_dsp_axis_flip_is_exact():
+    """The DSP dynamic switch (spatial-shard <-> temporal-shard) must be a
+    pure data-movement no-op numerically."""
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    x = jnp.arange(2 * 8 * 16 * 4, dtype=jnp.float32).reshape(2, 8, 16, 4)
+
+    @jax.jit
+    def flip_twice(x):
+        x = shard_spatial(x)
+        x = shard_temporal(x)   # all-to-all #1
+        x = x * 1.0
+        x = shard_spatial(x)    # all-to-all #2
+        return x
+
+    with use_mesh(mesh):
+        y = flip_twice(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_dsp_flip_emits_all_to_all():
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    x = jnp.zeros((2, 8, 16, 4), dtype=jnp.float32)
+
+    def f(x):
+        x = shard_spatial(x)
+        return shard_temporal(x)
+
+    with use_mesh(mesh):
+        lowered = jax.jit(f).lower(x)
+        txt = lowered.compile().as_text()
+    assert "all-to-all" in txt, "DSP flip should compile to an all-to-all"
+
+
+def test_uneven_sharding_is_handled():
+    # S=10 not divisible by sp=8: GSPMD must pad transparently (replaces the
+    # reference's PAD_DICT machinery, comm.py:268-304).
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    x = jnp.arange(1 * 3 * 10 * 4, dtype=jnp.float32).reshape(1, 3, 10, 4)
+
+    @jax.jit
+    def f(x):
+        x = shard_spatial(x)
+        x = shard_temporal(x)
+        return shard_spatial(x) + 1.0
+
+    with use_mesh(mesh):
+        y = f(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) + 1.0)
+
+
+def test_mesh_pool_power_of_two():
+    pool = MeshPool()
+    assert pool.sp_sizes == [1, 2, 4, 8]
+    m = pool.mesh_for_sp(4)
+    assert m.devices.shape == (2, 1, 4)
+    with pytest.raises(KeyError):
+        pool.mesh_for_sp(3)
