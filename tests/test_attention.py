@@ -1,0 +1,69 @@
+"""Flash-attention kernel correctness vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosys_tpu.ops.attention import reference_attention
+from videosys_tpu.ops.flash_attention import flash_attention
+
+
+def _mk(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.key(key), shape, dtype=dtype)
+
+
+@pytest.mark.parametrize(
+    "B,H,Nq,Nk,D",
+    [
+        (1, 2, 256, 256, 64),     # aligned
+        (2, 4, 300, 300, 72),     # STDiT3 head_dim=72, unaligned seq
+        (1, 2, 128, 520, 64),     # cross-attn style, Nk != Nq
+        (1, 1, 640, 96, 32),      # tiny kv
+    ],
+)
+def test_flash_matches_reference(B, H, Nq, Nk, D):
+    q = _mk((B, H, Nq, D), 0)
+    k = _mk((B, H, Nk, D), 1)
+    v = _mk((B, H, Nk, D), 2)
+    want = reference_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_kv=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_with_kv_mask():
+    B, H, Nq, Nk, D = 2, 2, 128, 300, 64
+    q, k, v = _mk((B, H, Nq, D), 0), _mk((B, H, Nk, D), 1), _mk((B, H, Nk, D), 2)
+    lens = jnp.array([117, 205])
+    kv_mask = jnp.arange(Nk)[None, :] < lens[:, None]
+    want = reference_attention(q, k, v, kv_mask=kv_mask)
+    got = flash_attention(q, k, v, kv_mask=kv_mask, interpret=True,
+                          block_q=128, block_kv=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    B, H, N, D = 1, 2, 256, 72
+    q, k, v = (_mk((B, H, N, D), i, jnp.bfloat16) for i in range(3))
+    want = reference_attention(q, k, v).astype(jnp.float32)
+    got = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_grad_flows():
+    # The kernel has no custom VJP yet; JAX differentiates through pallas in
+    # interpret mode — validate gradients against the reference path.
+    B, H, N, D = 1, 1, 128, 32
+    q, k, v = _mk((B, H, N, D), 0), _mk((B, H, N, D), 1), _mk((B, H, N, D), 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True,
+                                       block_q=128, block_kv=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4, rtol=5e-4)

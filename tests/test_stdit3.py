@@ -1,0 +1,129 @@
+"""STDiT3 model tests: shapes, determinism, PAB cache plumbing, and
+DSP sequence-parallel equivalence on the fake 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosys_tpu.core.pab import PABConfig, PABStepPlan, build_plans
+from videosys_tpu.core.parallel import ParallelConfig, build_mesh, use_mesh
+from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+
+TINY = STDiT3Config(
+    depth=2, hidden_size=64, num_heads=4, caption_channels=32,
+    model_max_length=8, patch_size=(1, 2, 2), in_channels=4,
+)
+
+
+def _inputs(B=2, T=3, H=8, W=8, L=8, key=0):
+    ks = jax.random.split(jax.random.key(key), 4)
+    x = jax.random.normal(ks[0], (B, 4, T, H, W))
+    t = jnp.array([500.0] * B)
+    y = jax.random.normal(ks[1], (B, L, 32))
+    kv_mask = jnp.array([[True] * 5 + [False] * 3] * B)
+    fps = jnp.array([24.0] * B)
+    return x, t, y, kv_mask, fps
+
+
+def test_forward_shape():
+    model = STDiT3(TINY)
+    x, t, y, kv_mask, fps = _inputs()
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask, fps=fps,
+                        height=256.0, width=256.0)
+    out = model.apply(params, x, t, y, kv_mask=kv_mask, fps=fps,
+                      height=256.0, width=256.0)
+    assert out.shape == (2, 8, 3, 8, 8)  # out_channels = 2*in (pred_sigma)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_forward_with_x_mask():
+    model = STDiT3(TINY)
+    x, t, y, kv_mask, fps = _inputs()
+    x_mask = jnp.array([[True, True, False], [True, False, False]])
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask,
+                        x_mask=x_mask, fps=fps, height=256.0, width=256.0)
+    out = model.apply(params, x, t, y, kv_mask=kv_mask, x_mask=x_mask, fps=fps,
+                      height=256.0, width=256.0)
+    assert out.shape == (2, 8, 3, 8, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pab_cache_roundtrip():
+    pab = PABConfig(
+        spatial_broadcast=True, spatial_threshold=(100, 900), spatial_range=2,
+        temporal_broadcast=True, temporal_threshold=(100, 900), temporal_range=2,
+        cross_broadcast=True, cross_threshold=(100, 900), cross_range=2,
+    )
+    x, t, y, kv_mask, fps = _inputs()
+
+    compute_model = STDiT3(TINY, plan=PABStepPlan(), pab_config=pab)
+    params = compute_model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask,
+                                fps=fps, height=256.0, width=256.0)
+    cache = compute_model.init_cache(B=2, T=3, S=16)
+    assert set(cache) == {"spatial", "temporal"}
+    assert set(cache["spatial"]) == {"attn", "cross"}
+
+    out1, cache1 = compute_model.apply(params, x, t, y, kv_mask=kv_mask,
+                                       fps=fps, height=256.0, width=256.0,
+                                       pab_cache=cache)
+    # caches must be filled (non-zero) after a compute step
+    assert np.abs(np.asarray(cache1["spatial"]["attn"])).sum() > 0
+
+    # broadcast step: all attention reused -> same out as recompute with
+    # identical inputs (since t is identical, outputs must match exactly)
+    bcast_model = STDiT3(
+        TINY, plan=PABStepPlan(spatial=True, temporal=True, cross=True),
+        pab_config=pab,
+    )
+    out2, cache2 = bcast_model.apply(params, x, t, y, kv_mask=kv_mask,
+                                     fps=fps, height=256.0, width=256.0,
+                                     pab_cache=cache1)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_build_plans_counts():
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(200, 800),
+                    spatial_range=2)
+    ts = np.linspace(1000, 33, 30)
+    plans = build_plans(pab, ts, depth=2)
+    # count % 2 != 0 (odd steps) and 200 < t < 800
+    want = [(i % 2 == 1) and (200 < ts[i] < 800) for i in range(30)]
+    assert [p.spatial for p in plans] == want
+
+
+def test_sp8_matches_single_device():
+    """DSP sequence parallel must be numerically equivalent to sp=1
+    (SURVEY.md §7 gate for step 7)."""
+    model = STDiT3(TINY)
+    x, t, y, kv_mask, fps = _inputs(B=2, T=4, H=8, W=8)
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask, fps=fps,
+                        height=256.0, width=256.0)
+
+    fn = jax.jit(lambda p, x, t, y, m, f: model.apply(
+        p, x, t, y, kv_mask=m, fps=f, height=256.0, width=256.0))
+    out_single = fn(params, x, t, y, kv_mask, fps)
+
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    with use_mesh(mesh):
+        out_sp = fn(params, x, t, y, kv_mask, fps)
+    np.testing.assert_allclose(
+        np.asarray(out_single), np.asarray(out_sp), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_cp2_sp4_matches_single_device():
+    model = STDiT3(TINY)
+    x, t, y, kv_mask, fps = _inputs(B=2, T=4, H=8, W=8)
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask, fps=fps,
+                        height=256.0, width=256.0)
+    fn = jax.jit(lambda p, x, t, y, m, f: model.apply(
+        p, x, t, y, kv_mask=m, fps=f, height=256.0, width=256.0))
+    out_single = fn(params, x, t, y, kv_mask, fps)
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=2, sp_size=4))
+    with use_mesh(mesh):
+        out = fn(params, x, t, y, kv_mask, fps)
+    np.testing.assert_allclose(
+        np.asarray(out_single), np.asarray(out), atol=2e-5, rtol=1e-5
+    )

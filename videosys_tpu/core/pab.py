@@ -1,0 +1,164 @@
+"""Pyramid Attention Broadcast (PAB) — host-side planning, trace-compatible caching.
+
+Behavioral reference: `videosys/core/pab/pab_mgr.py` (PABManager counters
+:54-139, MLP save/fetch :141-174) and the block hooks in
+`open_sora_transformer_3d.py:186-284`.
+
+TPU-native redesign (SURVEY.md §2.4 plan): the reference mutates a global
+singleton at runtime; under jit that is impossible and unnecessary — every
+broadcast decision is a pure function of the (static) timestep ladder. So:
+
+* `build_plans` replays the reference's counter logic over the ladder ONCE on
+  the host and emits a static `PABStepPlan` per sampling step;
+* spatial/temporal/cross flags are Python bools -> each distinct flag combo
+  specializes the jitted denoise step (bounded, typically <= 6 variants;
+  XLA dead-code-eliminates the skipped attention entirely);
+* per-block caches live in an explicit `PABCache` pytree carried through the
+  sampling loop (donated buffers, sp-sharded like the activations);
+* MLP skip (5 blocks x 3 timesteps in the reference config) is per-depth and
+  therefore traced: the block computes-and-selects via the cache, preserving
+  outputs exactly; the compute saving it forgoes is <2% of step FLOPs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PABConfig:
+    """Mirror of pab_mgr.PABConfig (:6-40)."""
+
+    spatial_broadcast: bool = False
+    spatial_threshold: tuple[int, int] = (0, 0)
+    spatial_range: int = 1
+    temporal_broadcast: bool = False
+    temporal_threshold: tuple[int, int] = (0, 0)
+    temporal_range: int = 1
+    cross_broadcast: bool = False
+    cross_threshold: tuple[int, int] = (0, 0)
+    cross_range: int = 1
+    mlp_broadcast: bool = False
+    # {timestep:int -> {"block": [idx...], "skip_count": int}}
+    mlp_spatial_broadcast_config: Optional[dict] = None
+    mlp_temporal_broadcast_config: Optional[dict] = None
+
+    @property
+    def enabled(self) -> bool:
+        return self.spatial_broadcast or self.temporal_broadcast or self.cross_broadcast
+
+
+@dataclasses.dataclass(frozen=True)
+class PABStepPlan:
+    """Static per-step broadcast decisions. Hashable -> usable as a jit
+    specialization key. MLP flags are per-depth numpy bool tuples."""
+
+    spatial: bool = False
+    temporal: bool = False
+    cross: bool = False
+    # per-depth tuples (static): save into / read from the MLP cache slot
+    mlp_spatial_save: tuple[bool, ...] = ()
+    mlp_spatial_use: tuple[bool, ...] = ()
+    mlp_temporal_save: tuple[bool, ...] = ()
+    mlp_temporal_use: tuple[bool, ...] = ()
+
+    @property
+    def key(self):
+        return self
+
+    @property
+    def any_mlp(self) -> bool:
+        return any(self.mlp_spatial_save) or any(self.mlp_spatial_use) or \
+            any(self.mlp_temporal_save) or any(self.mlp_temporal_use)
+
+
+def _broadcast_flags(
+    enabled: bool, threshold: tuple[int, int], rng: int, timesteps: Sequence[int]
+) -> list[bool]:
+    """Replay of PABManager.if_broadcast_* (:54-91): per-step counter starts
+    at 0 and increments once per step; broadcast when count % range != 0 and
+    t inside the open interval."""
+    flags = []
+    for count, t in enumerate(timesteps):
+        flags.append(
+            bool(enabled and (count % rng != 0) and threshold[0] < t < threshold[1])
+        )
+    return flags
+
+
+def _mlp_flags(
+    cfg: Optional[dict], timesteps: Sequence[int], depth: int
+) -> tuple[list[tuple[bool, ...]], list[tuple[bool, ...]]]:
+    """Replay of if_skip_mlp / _is_t_in_skip_config (:93-139). Returns
+    (save_flags, use_flags), each a per-step list of per-depth tuples."""
+    n = len(timesteps)
+    save = [[False] * depth for _ in range(n)]
+    use = [[False] * depth for _ in range(n)]
+    if cfg:
+        for key_t, spec in cfg.items():
+            if key_t not in timesteps:
+                continue
+            i = timesteps.index(key_t)
+            blocks = spec["block"]
+            skip_count = int(spec["skip_count"])
+            for b in blocks:
+                if b < depth:
+                    save[i][b] = True
+            for j in range(i + 1, min(i + 1 + skip_count, n)):
+                for b in blocks:
+                    if b < depth:
+                        use[j][b] = True
+    return [tuple(s) for s in save], [tuple(u) for u in use]
+
+
+def quantize_timesteps(timesteps: np.ndarray, dtype=None) -> list[int]:
+    """The reference keys PAB decisions on int(t.to(model_dtype).item())
+    (scheduling_rflow_open_sora.py:222) — replicate the dtype rounding."""
+    ts = np.asarray(timesteps)
+    if dtype is not None:
+        import jax.numpy as jnp
+        import numpy as _np
+
+        ts = _np.asarray(jnp.asarray(ts).astype(dtype).astype(jnp.float32))
+    return [int(t) for t in ts]
+
+
+def build_plans(
+    config: Optional[PABConfig],
+    timesteps: np.ndarray,
+    depth: int,
+    model_dtype=None,
+) -> list[PABStepPlan]:
+    """One static plan per sampling step."""
+    n = len(timesteps)
+    if config is None or not config.enabled:
+        return [PABStepPlan()] * n
+    ts_int = quantize_timesteps(timesteps, model_dtype)
+    sp = _broadcast_flags(config.spatial_broadcast, tuple(config.spatial_threshold),
+                          config.spatial_range, ts_int)
+    tp = _broadcast_flags(config.temporal_broadcast, tuple(config.temporal_threshold),
+                          config.temporal_range, ts_int)
+    cr = _broadcast_flags(config.cross_broadcast, tuple(config.cross_threshold),
+                          config.cross_range, ts_int)
+    if config.mlp_broadcast:
+        ms_save, ms_use = _mlp_flags(config.mlp_spatial_broadcast_config, ts_int, depth)
+        mt_save, mt_use = _mlp_flags(config.mlp_temporal_broadcast_config, ts_int, depth)
+    else:
+        empty = [()] * n
+        ms_save = ms_use = mt_save = mt_use = empty
+    return [
+        PABStepPlan(
+            spatial=sp[i], temporal=tp[i], cross=cr[i],
+            mlp_spatial_save=ms_save[i], mlp_spatial_use=ms_use[i],
+            mlp_temporal_save=mt_save[i], mlp_temporal_use=mt_use[i],
+        )
+        for i in range(n)
+    ]
+
+
+def num_step_variants(plans: Sequence[PABStepPlan]) -> int:
+    """Distinct jit specializations a plan list will create."""
+    return len(set(plans))

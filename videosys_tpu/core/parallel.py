@@ -157,6 +157,19 @@ def shard_batch_over_all(x):
     return _constrain(x, SPEC_BATCH_SHARD)
 
 
+def shard_merged_rows(x):
+    """Attention-merged 3D layouts ([B*S, T, C] for temporal attention,
+    [B*T, S, C] for spatial attention after the DSP flip): the merged leading
+    dim is B-major / sharded-dim-minor, so it shards over (dp, cp, sp)."""
+    return _constrain(x, P((DP_AXIS, CP_AXIS, SP_AXIS), None, None))
+
+
+def shard_cross_rows(x):
+    """Cross-attention layout [B*T, S, C] in the resident (S-sharded) state:
+    rows over (dp, cp) (T unsharded), S over sp."""
+    return _constrain(x, P(BATCH_AXES, SP_AXIS, None))
+
+
 def ulysses_shard_heads(x):
     """Ulysses-style SP for joint-attention models (cogvideox_transformer_3d.py:112-165):
     [B, N, H, D] with heads sharded over sp, sequence gathered."""

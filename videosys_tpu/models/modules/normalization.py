@@ -1,0 +1,45 @@
+"""Normalization layers (fp32-stable) and adaLN modulation.
+
+Behavioral reference: `videosys/models/modules/normalization.py` (LlamaRMSNorm
+:~20-40), `open_sora_transformer_3d.py:47` (t2i_modulate), and the affine-free
+LayerNorm(eps=1e-6) used throughout the DiT blocks. All statistics are
+computed in fp32 regardless of compute dtype (matches apex/Llama semantics);
+XLA fuses the chains into neighboring ops, which on TPU replaces the
+reference's apex FusedRMSNorm wheel.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class RMSNorm(nn.Module):
+    """LlamaRMSNorm: x * rsqrt(mean(x^2) + eps) * weight, stats in fp32."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * (var + self.eps) ** -0.5
+        return (weight * xf.astype(dtype)).astype(dtype)
+
+
+def layer_norm(x, eps: float = 1e-6):
+    """Affine-free LayerNorm with fp32 statistics (nn.LayerNorm(eps=1e-6,
+    elementwise_affine=False) in the reference blocks)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * (var + eps) ** -0.5).astype(dtype)
+
+
+def t2i_modulate(x, shift, scale):
+    """adaLN modulate: x * (1 + scale) + shift (open_sora_transformer_3d.py:47)."""
+    return x * (1 + scale) + shift

