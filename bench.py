@@ -1,0 +1,65 @@
+"""Benchmark: Open-Sora 2s-480p T2V latency on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's published dense single-GPU latency of 106 s on
+1xH800 for a comparable token-count workload (10 s / 80 frames / 512x512,
+README.md:145-147 — ~20.5k DiT tokens vs our 2s-480p ~23.9k tokens), see
+BASELINE.md. vs_baseline = 106 / measured_seconds.
+
+Runs with random-init weights (zero-egress image) — latency is
+weight-agnostic. Compile time is excluded (one warmup generate).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_DENSE_S = 106.0
+
+
+def main():
+    import jax
+
+    from videosys_tpu import OpenSoraConfig, VideoSysEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU smoke mode (for development): tiny config, still prints the line.
+    if not on_tpu:
+        from videosys_tpu.models.transformers.stdit3 import STDiT3Config
+
+        config = OpenSoraConfig(
+            transformer=None, vae=None, text_encoder=None,
+            num_sampling_steps=2, dtype="fp32",
+            transformer_config=STDiT3Config(depth=2, hidden_size=32,
+                                            num_heads=2, caption_channels=16,
+                                            model_max_length=8),
+        )
+        kwargs = dict(resolution="144p", aspect_ratio="1:1", num_frames=1)
+    else:
+        config = OpenSoraConfig(transformer=None, vae=None, text_encoder=None,
+                                num_sampling_steps=30, dtype="bf16")
+        kwargs = dict(resolution="480p", aspect_ratio="9:16", num_frames="2s")
+
+    engine = VideoSysEngine(config)
+
+    # warmup (compile)
+    engine.generate("benchmark warmup", seed=0, **kwargs)
+
+    t0 = time.perf_counter()
+    engine.generate("a breathtaking sunrise over snowy mountains", seed=1,
+                    **kwargs)
+    dt = time.perf_counter() - t0
+
+    metric = "opensora_2s_480p_dense_latency" if on_tpu else "opensora_cpu_smoke_latency"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_DENSE_S / dt, 3) if on_tpu else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

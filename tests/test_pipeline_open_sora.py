@@ -1,0 +1,103 @@
+"""End-to-end Open-Sora pipeline tests with tiny offline models.
+
+Mirrors the reference smoke tests (tests/pipelines/open_sora/test_open_sora.py)
+but runs on CPU with random-init tiny configs and adds a PAB-vs-dense latent
+equivalence check that the reference cannot do (it only checks "a video comes
+out")."""
+
+import numpy as np
+import pytest
+
+from videosys_tpu import OpenSoraConfig, OpenSoraPABConfig, VideoSysEngine
+from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+    OpenSoraVAE,
+    OpenSoraVAEConfig,
+)
+from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
+from videosys_tpu.models.transformers.stdit3 import STDiT3Config
+
+
+def tiny_config(**kw):
+    return OpenSoraConfig(
+        transformer=None, vae=None, text_encoder=None,
+        num_sampling_steps=4, dtype="fp32",
+        transformer_config=STDiT3Config(
+            depth=2, hidden_size=32, num_heads=2, caption_channels=16,
+            model_max_length=8, patch_size=(1, 2, 2),
+        ),
+        **kw,
+    )
+
+
+def tiny_vae():
+    return OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(block_out_channels=(8, 16), layers_per_block=1,
+                                num_groups=4),
+        temporal=VAETemporal(filters=8, num_res_blocks=1, num_groups=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return VideoSysEngine(tiny_config(), vae=tiny_vae())
+
+
+def test_generate_image(engine, tmp_path):
+    out = engine.generate("a red square", resolution="144p",
+                          aspect_ratio="1:1", num_frames=1, seed=0)
+    video = out.video
+    assert video.shape[0] == 1 and video.shape[1] == 1
+    assert video.dtype == np.uint8
+    # tiny VAE only downsamples 2x spatially; 144p 1:1 = 192x192
+    assert video.shape[2:] == (192, 192, 3)  # tiny VAE: 2x spatial factor
+    p = engine.save_video(video[0], str(tmp_path / "img"))
+    assert p.endswith(".png")
+
+
+def test_generate_short_video(engine, tmp_path):
+    out = engine.generate("waves", resolution="144p", aspect_ratio="1:1",
+                          num_frames=18, seed=1)
+    assert out.video.shape[:2] == (1, 18)
+    p = engine.save_video(out.video[0], str(tmp_path / "vid"))
+    assert p.endswith((".mp4", ".gif"))
+
+
+def test_generate_deterministic_with_seed(engine):
+    a = engine.generate("same", resolution="144p", aspect_ratio="1:1",
+                        num_frames=1, seed=7).video
+    b = engine.generate("same", resolution="144p", aspect_ratio="1:1",
+                        num_frames=1, seed=7).video
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pab_runs_and_is_close_to_dense():
+    """PAB reuses attention across steps: output must stay close to dense
+    (BASELINE.md: latent PSNR >= 35 dB gate is benchmarked on the real model;
+    here we verify the plumbing is sound and errors are bounded)."""
+    vae = tiny_vae()
+    dense = VideoSysEngine(tiny_config(), vae=vae)
+    pab_cfg = tiny_config(enable_pab=True, pab_config=OpenSoraPABConfig(
+        spatial_threshold=(100, 950), temporal_threshold=(100, 950),
+        cross_threshold=(100, 950), mlp_broadcast=False))
+    pab = VideoSysEngine(pab_cfg, vae=vae, params=dense.driver_worker.params)
+
+    kw = dict(resolution="144p", aspect_ratio="1:1", num_frames=18, seed=3)
+    v_dense = dense.generate("ocean", **kw).video.astype(np.float32)
+    v_pab = pab.generate("ocean", **kw).video.astype(np.float32)
+
+    mse = np.mean((v_dense - v_pab) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-10))
+    assert psnr > 20, f"PAB output too far from dense: psnr={psnr:.1f}dB"
+
+
+def test_num_steps_plans_specialize():
+    from videosys_tpu.core.pab import build_plans, num_step_variants
+
+    cfg = OpenSoraPABConfig(mlp_broadcast=False)
+    import numpy as np_
+
+    ts = np_.linspace(1000, 33, 30)
+    plans = build_plans(cfg, ts, depth=28)
+    assert num_step_variants(plans) <= 8

@@ -86,8 +86,12 @@ def test_full_vae_pipeline_roundtrip():
 def test_get_latent_size():
     vae = OpenSoraVAE(OpenSoraVAEConfig(micro_frame_size=17),
                       spatial=TINY_2D, temporal=_tiny_temporal())
-    assert vae.get_latent_size((34, 64, 64)) == [10, 8, 8]
-    assert vae.get_latent_size((51, 64, 64)) == [15, 8, 8]
-    assert vae.get_latent_size((1, 64, 64)) == [1, 8, 8]
+    # tiny 2D VAE has 2 blocks -> spatial factor 2 (full model: 4 blocks -> 8)
+    assert vae.get_latent_size((34, 64, 64)) == [10, 32, 32]
+    assert vae.get_latent_size((51, 64, 64)) == [15, 32, 32]
+    assert vae.get_latent_size((1, 64, 64)) == [1, 32, 32]
     # 20 = 17 + 3 -> 5 + ceil(3/4)=1 -> 6
-    assert vae.get_latent_size((20, 64, 64)) == [6, 8, 8]
+    assert vae.get_latent_size((20, 64, 64)) == [6, 32, 32]
+    # full-size composition reproduces the reference /8 spatial factor
+    full = OpenSoraVAE(OpenSoraVAEConfig(micro_frame_size=17))
+    assert full.get_latent_size((51, 480, 854)) == [15, 60, 106]

@@ -1,0 +1,25 @@
+"""videosys_tpu — TPU-native video generation framework.
+
+Same capabilities as NUS-HPC-AI-Lab/VideoSys (see SURVEY.md), re-designed for
+JAX/XLA/Pallas on TPU. Public API mirrors `videosys/__init__.py:1-22`:
+`VideoSysEngine(config).generate(prompt)`.
+"""
+
+from videosys_tpu.core.engine import VideoSysEngine
+from videosys_tpu.core.pab import PABConfig
+from videosys_tpu.core.parallel import ParallelConfig, build_mesh
+from videosys_tpu.pipelines.open_sora.pipeline_open_sora import (
+    OpenSoraConfig,
+    OpenSoraPABConfig,
+    OpenSoraPipeline,
+)
+
+__all__ = [
+    "VideoSysEngine",
+    "PABConfig",
+    "ParallelConfig",
+    "build_mesh",
+    "OpenSoraConfig",
+    "OpenSoraPABConfig",
+    "OpenSoraPipeline",
+]

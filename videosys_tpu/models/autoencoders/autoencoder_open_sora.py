@@ -53,7 +53,9 @@ class OpenSoraVAE:
         self.temporal = temporal or VAETemporal(dtype=config.dtype)
         # 17 pixel frames -> 5 latent frames (ceil(17/4)); :635
         self.micro_z_frame_size = -(-config.micro_frame_size // 4)
-        self.patch_size = (4, 8, 8)  # combined compression
+        # combined compression: temporal 4x, spatial 2^(num 2D blocks - 1)
+        sf = 2 ** (len(self.spatial.block_out_channels) - 1)
+        self.patch_size = (self.temporal.time_downsample_factor, sf, sf)
         self.out_channels = config.latent_channels
 
     # ------------------------------------------------------------------ #
@@ -71,16 +73,17 @@ class OpenSoraVAE:
         :706-717 with micro_frame_size chunk math)."""
         T, H, W = input_size
         mf = self.config.micro_frame_size
+        tdf, sf = self.patch_size[0], self.patch_size[1]
         if T is None:
             t_lat = None
         elif mf is None:
-            t_lat = -(-T // 4)
+            t_lat = -(-T // tdf)
         else:
             t_lat = (T // mf) * self.micro_z_frame_size
             rem = T % mf
             if rem > 0:
-                t_lat += -(-rem // 4)
-        return [t_lat, H // 8 if H else None, W // 8 if W else None]
+                t_lat += -(-rem // tdf)
+        return [t_lat, H // sf if H else None, W // sf if W else None]
 
     # ------------------------------------------------------------------ #
     def _spatial_map(self, fn, frames: jax.Array) -> jax.Array:

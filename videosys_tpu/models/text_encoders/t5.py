@@ -1,0 +1,73 @@
+"""Text encoders: T5 (Flax) wrapper + an offline deterministic stub.
+
+Behavioral reference: `videosys/pipelines/open_sora/pipeline_open_sora.py`
+(get_text_embeddings :272-292 — T5 last_hidden_state + attention mask,
+max_length=300 padding). The reference loads "DeepFloyd/t5-v1_1-xxl"
+(4096-dim); in air-gapped environments `StubTextEncoder` provides a
+deterministic, tokenizer-free embedding so pipelines/benchmarks run without
+weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class T5TextEncoder:
+    """HF Flax T5 encoder + tokenizer. Requires local weights."""
+
+    def __init__(self, path: str, max_length: int = 300, dtype=jnp.float32):
+        from transformers import AutoTokenizer, FlaxT5EncoderModel
+
+        self.tokenizer = AutoTokenizer.from_pretrained(path)
+        self.model = FlaxT5EncoderModel.from_pretrained(path, dtype=dtype)
+        self.max_length = max_length
+        self.output_dim = self.model.config.d_model
+
+    def encode(self, texts: Sequence[str]) -> Tuple[jax.Array, jax.Array]:
+        tok = self.tokenizer(
+            list(texts),
+            max_length=self.max_length,
+            padding="max_length",
+            truncation=True,
+            return_attention_mask=True,
+            add_special_tokens=True,
+            return_tensors="np",
+        )
+        out = self.model(
+            input_ids=jnp.asarray(tok["input_ids"]),
+            attention_mask=jnp.asarray(tok["attention_mask"]),
+        )
+        mask = jnp.asarray(tok["attention_mask"]).astype(bool)
+        return out.last_hidden_state, mask
+
+
+class StubTextEncoder:
+    """Deterministic offline text embedding: words hash to fixed gaussian
+    vectors. Preserves the (embs [B, L, D], mask [B, L]) contract so the whole
+    pipeline runs end-to-end without downloaded weights."""
+
+    def __init__(self, output_dim: int = 4096, max_length: int = 300):
+        self.output_dim = output_dim
+        self.max_length = max_length
+
+    def _word_vec(self, word: str) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(word.encode()).digest()[:4], "little")
+        return np.random.default_rng(seed).standard_normal(self.output_dim).astype(np.float32)
+
+    def encode(self, texts: Sequence[str]) -> Tuple[jax.Array, jax.Array]:
+        B, L = len(texts), self.max_length
+        embs = np.zeros((B, L, self.output_dim), np.float32)
+        mask = np.zeros((B, L), bool)
+        for i, text in enumerate(texts):
+            words = text.split()[: L - 1] if text else []
+            for j, w in enumerate(words):
+                embs[i, j] = self._word_vec(w)
+            embs[i, len(words)] = self._word_vec("</s>")
+            mask[i, : len(words) + 1] = True
+        return jnp.asarray(embs), jnp.asarray(mask)

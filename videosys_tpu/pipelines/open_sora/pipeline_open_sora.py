@@ -1,0 +1,287 @@
+"""Open-Sora v1.2 text-to-video pipeline — TPU-native.
+
+Behavioral reference: `videosys/pipelines/open_sora/pipeline_open_sora.py`
+(OpenSoraPABConfig :32-69, OpenSoraConfig :72-163, OpenSoraPipeline :166-656).
+Same public surface — `OpenSoraConfig` -> `VideoSysEngine` -> `generate(prompt,
+resolution, aspect_ratio, num_frames, seed, ...)` -> uint8 video — but the
+execution model is jit-first:
+
+* the denoise loop is a host loop over per-step jitted functions; PAB gives a
+  bounded set of step-plan specializations (see core/pab.py), the PAB cache is
+  an explicit donated pytree;
+* CFG doubling, the model forward, guidance combine, and the Euler update all
+  live inside one jitted step (one compiled program per plan);
+* DSP/CP parallelism comes from the active mesh (core/parallel.py) — no
+  process spawning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videosys_tpu.core import parallel as par
+from videosys_tpu.core.pab import PABConfig, build_plans
+from videosys_tpu.core.pipeline import VideoSysPipeline, VideoSysPipelineOutput
+from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+    OpenSoraVAE,
+    OpenSoraVAEConfig,
+)
+from videosys_tpu.models.text_encoders.t5 import StubTextEncoder, T5TextEncoder
+from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+from videosys_tpu.pipelines.open_sora.data_process import (
+    append_score_to_prompts,
+    get_image_size,
+    get_num_frames,
+    text_preprocessing,
+)
+from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
+
+
+def OpenSoraPABConfig(**overrides) -> PABConfig:
+    """Default PAB thresholds for Open-Sora (pipeline_open_sora.py:32-69)."""
+    mlp_cfg = {
+        676: {"block": [0, 1, 2, 3, 4], "skip_count": 2},
+        788: {"block": [0, 1, 2, 3, 4], "skip_count": 2},
+        864: {"block": [0, 1, 2, 3, 4], "skip_count": 2},
+    }
+    defaults = dict(
+        spatial_broadcast=True, spatial_threshold=(450, 930), spatial_range=2,
+        temporal_broadcast=True, temporal_threshold=(450, 930), temporal_range=4,
+        cross_broadcast=True, cross_threshold=(450, 930), cross_range=6,
+        mlp_broadcast=True,
+        mlp_spatial_broadcast_config=mlp_cfg,
+        mlp_temporal_broadcast_config=dict(mlp_cfg),
+    )
+    defaults.update(overrides)
+    return PABConfig(**defaults)
+
+
+@dataclasses.dataclass
+class OpenSoraConfig:
+    """Mirror of OpenSoraConfig (pipeline_open_sora.py:72-163).
+    `num_gpus` is kept for API compatibility and means number of devices."""
+
+    transformer: Optional[str] = "hpcai-tech/OpenSora-STDiT-v3"
+    vae: Optional[str] = "hpcai-tech/OpenSora-VAE-v1.2"
+    text_encoder: Optional[str] = "DeepFloyd/t5-v1_1-xxl"
+    # ======== distributed ========
+    num_gpus: int = 1
+    enable_cp: bool = False
+    # ======== scheduler ========
+    num_sampling_steps: int = 30
+    cfg_scale: float = 7.0
+    # ======== vae ========
+    tiling_size: int = 4
+    # ======== speedup ========
+    enable_flash_attn: bool = True  # pallas kernel dispatch (auto on TPU)
+    # ======== pab ========
+    enable_pab: bool = False
+    pab_config: Optional[PABConfig] = None
+    # ======== tpu ========
+    dtype: str = "bf16"
+    # test/offline hooks: override model sizes, skip weight loading
+    transformer_config: Optional[STDiT3Config] = None
+    vae_config: Optional[OpenSoraVAEConfig] = None
+
+    def __post_init__(self):
+        if self.pab_config is None:
+            self.pab_config = OpenSoraPABConfig()
+        self.pipeline_cls = OpenSoraPipeline
+
+
+_DTYPES = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}
+
+
+class OpenSoraPipeline(VideoSysPipeline):
+    def __init__(
+        self,
+        config: OpenSoraConfig,
+        text_encoder: Any = None,
+        vae: Optional[OpenSoraVAE] = None,
+        params: Optional[dict] = None,
+        mesh=None,
+        seed: int = 42,
+    ):
+        self._config = config
+        dtype = _DTYPES[config.dtype]
+        self.dtype = dtype
+
+        # --- mesh (replaces engine process spawning + ParallelManager) ---- #
+        if mesh is None and config.num_gpus > 1:
+            pcfg = par.ParallelConfig.from_world_size(config.num_gpus,
+                                                      enable_cp=config.enable_cp)
+            mesh = par.build_mesh(pcfg)
+        self.mesh = mesh
+
+        # --- modules ------------------------------------------------------ #
+        self.model_config = config.transformer_config or STDiT3Config(dtype=dtype)
+        self.vae = vae or OpenSoraVAE(
+            config.vae_config
+            or OpenSoraVAEConfig(micro_batch_size=config.tiling_size, dtype=dtype)
+        )
+        if text_encoder is not None:
+            self.text_encoder = text_encoder
+        else:
+            self.text_encoder = self._load_text_encoder(config)
+
+        self.scheduler = RFlowScheduler(RFlowConfig(
+            num_sampling_steps=config.num_sampling_steps,
+            cfg_scale=config.cfg_scale,
+            use_timestep_transform=True,
+        ))
+
+        self.params = params if params is not None else self._init_params(seed)
+        self._step_fns: dict = {}
+
+    # ------------------------------------------------------------------ #
+    def _load_text_encoder(self, config):
+        if config.text_encoder:
+            try:
+                return T5TextEncoder(config.text_encoder, dtype=self.dtype)
+            except Exception:
+                pass
+        return StubTextEncoder(output_dim=self.model_config.caption_channels,
+                               max_length=self.model_config.model_max_length)
+
+    def _init_params(self, seed: int) -> dict:
+        """Random init (checkpoint loading via utils/checkpoint.py when model
+        paths resolve to local orbax/safetensors dirs — see load_params)."""
+        from videosys_tpu.utils.checkpoint import try_load_params
+
+        loaded = try_load_params(self._config)
+        if loaded is not None:
+            return loaded
+        mc = self.model_config
+        model = STDiT3(mc)
+        dummy_x = jnp.zeros((1, mc.in_channels, 2, 8, 8), jnp.float32)
+        dummy_t = jnp.zeros((1,), jnp.float32)
+        dummy_y = jnp.zeros((1, 4, mc.caption_channels), jnp.float32)
+        p_transformer = model.init(jax.random.key(seed), dummy_x, dummy_t,
+                                   dummy_y, height=64.0, width=64.0)
+        p_vae = self.vae.init(jax.random.key(seed + 1))
+        return {"transformer": p_transformer, "vae": p_vae}
+
+    # ------------------------------------------------------------------ #
+    def null_embed(self, n: int) -> jax.Array:
+        """Uncond caption features for CFG (pipeline_open_sora.py:294-296)."""
+        y_emb = self.params["transformer"]["params"]["y_embedder"]["y_embedding"]
+        return jnp.broadcast_to(y_emb[None], (n,) + y_emb.shape)
+
+    def _get_step_fn(self, plan, height: float, width: float, guidance_scale: float):
+        key = (plan, height, width, guidance_scale)
+        if key in self._step_fns:
+            return self._step_fns[key]
+
+        pab = self._config.pab_config if self._config.enable_pab else None
+        model = STDiT3(self.model_config, plan=plan, pab_config=pab)
+        sched = self.scheduler
+
+        def step(params, z, t_scalar, dt, y_all, kv_mask_all, fps, cache):
+            B = z.shape[0]
+            z_in = jnp.concatenate([z, z], axis=0).astype(self.dtype)
+            t_in = jnp.full((2 * B,), t_scalar, jnp.float32)
+            fps_in = jnp.concatenate([fps, fps], axis=0)
+            kwargs = dict(kv_mask=kv_mask_all, fps=fps_in,
+                          height=height, width=width)
+            if cache is not None:
+                out, cache = model.apply(params, z_in, t_in, y_all,
+                                         pab_cache=cache, **kwargs)
+            else:
+                out = model.apply(params, z_in, t_in, y_all, **kwargs)
+            pred = out[:, : self.model_config.in_channels]
+            v_cond, v_uncond = pred[:B], pred[B:]
+            v = sched.apply_cfg(v_cond, v_uncond, guidance_scale)
+            z = sched.step(z, v, dt)
+            return z, cache
+
+        fn = jax.jit(step, donate_argnums=(1, 7))
+        self._step_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------ #
+    def generate(
+        self,
+        prompt: str,
+        resolution: str = "480p",
+        aspect_ratio: str = "9:16",
+        num_frames="2s",
+        seed: int = -1,
+        guidance_scale: Optional[float] = None,
+        aes: float = 6.5,
+        flow: Optional[float] = None,
+        camera_motion: Optional[float] = None,
+        fps: int = 24,
+        verbose: bool = True,
+        return_dict: bool = True,
+    ):
+        cfg = self._config
+        height, width = get_image_size(resolution, aspect_ratio)
+        num_frames = get_num_frames(num_frames)
+        if guidance_scale is None:
+            guidance_scale = cfg.cfg_scale
+        if seed < 0:
+            seed = np.random.randint(0, 2**31 - 1)
+        rng = jax.random.key(seed)
+
+        # --- prompt processing (:530-607) ------------------------------- #
+        prompts = [text_preprocessing(prompt)]
+        prompts = append_score_to_prompts(prompts, aes=aes, flow=flow,
+                                          camera_motion=camera_motion)
+        y, kv_mask = self.text_encoder.encode(prompts)
+        B = y.shape[0]
+        y_null = self.null_embed(B)
+        y_all = jnp.concatenate([y, y_null], axis=0).astype(self.dtype)
+        kv_mask_all = jnp.concatenate([kv_mask, kv_mask], axis=0)
+
+        # --- latents ------------------------------------------------------ #
+        t_lat, h_lat, w_lat = self.vae.get_latent_size((num_frames, height, width))
+        rng, zkey = jax.random.split(rng)
+        z = jax.random.normal(zkey, (B, self.vae.out_channels, t_lat, h_lat, w_lat),
+                              jnp.float32)
+
+        # --- denoise loop -------------------------------------------------- #
+        timesteps = self.scheduler.prepare_timesteps(height, width, num_frames)
+        dts = self.scheduler.prepare_dts(timesteps)
+        pab = cfg.pab_config if cfg.enable_pab else None
+        plans = build_plans(pab, timesteps, self.model_config.depth, self.dtype)
+
+        cache = None
+        if cfg.enable_pab:
+            mc = self.model_config
+            T_tok = -(-t_lat // mc.patch_size[0])
+            S_tok = (-(-h_lat // mc.patch_size[1])) * (-(-w_lat // mc.patch_size[2]))
+            cache = STDiT3(mc, pab_config=pab).init_cache(2 * B, T_tok, S_tok)
+
+        fps_arr = jnp.full((B,), float(fps), jnp.float32)
+        mesh_ctx = par.use_mesh(self.mesh) if self.mesh is not None else _nullcontext()
+        with mesh_ctx:
+            for i, (t_i, dt_i) in enumerate(zip(timesteps, dts)):
+                step_fn = self._get_step_fn(plans[i], float(height), float(width),
+                                            float(guidance_scale))
+                z, cache = step_fn(self.params["transformer"], z, t_i, dt_i,
+                                   y_all, kv_mask_all, fps_arr, cache)
+            samples = self.vae.decode(self.params["vae"], z, num_frames=num_frames)
+
+        # --- postprocess (:648-652) ---------------------------------------- #
+        video = np.asarray(samples, dtype=np.float32)
+        video = np.clip(video, -1, 1)
+        video = ((video + 1) / 2 * 255 + 0.5).clip(0, 255).astype(np.uint8)
+        video = np.transpose(video, (0, 2, 3, 4, 1))  # [B, T, H, W, C]
+        if not return_dict:
+            return (video,)
+        return VideoSysPipelineOutput(video=video)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
