@@ -1,0 +1,117 @@
+"""Latte model + DDIM scheduler + pipeline tests (tiny offline configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosys_tpu.core.parallel import ParallelConfig, build_mesh, use_mesh
+from videosys_tpu.models.transformers.latte import LatteConfig as LatteModelConfig
+from videosys_tpu.models.transformers.latte import LatteT2V
+from videosys_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
+
+TINY = LatteModelConfig(num_layers=2, num_heads=2, head_dim=16,
+                        caption_channels=16, video_length=4, sample_size=8)
+
+
+def _inputs(B=2, T=4, H=16, W=16, L=6):
+    ks = jax.random.split(jax.random.key(0), 2)
+    x = jax.random.normal(ks[0], (B, 4, T, H, W))
+    t = jnp.array([500.0] * B)
+    y = jax.random.normal(ks[1], (B, L, 16))
+    kv_mask = jnp.array([[True] * 4 + [False] * 2] * B)
+    return x, t, y, kv_mask
+
+
+def test_latte_forward_shape():
+    model = LatteT2V(TINY)
+    x, t, y, kv_mask = _inputs()
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask)
+    out = model.apply(params, x, t, y, kv_mask=kv_mask)
+    assert out.shape == (2, 8, 4, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_latte_sp_equivalence():
+    model = LatteT2V(TINY)
+    x, t, y, kv_mask = _inputs(T=8)
+    params = model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask)
+    fn = jax.jit(lambda p, x, t, y, m: model.apply(p, x, t, y, kv_mask=m))
+    ref = fn(params, x, t, y, kv_mask)
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    with use_mesh(mesh):
+        out = fn(params, x, t, y, kv_mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=2e-5, rtol=1e-5)
+
+
+# ------------------------- DDIM scheduler ------------------------------- #
+
+def test_ddim_matches_torch_diffusers_math():
+    """Cross-check against an independent numpy re-derivation of DDIM
+    (eta=0, epsilon prediction) over a full 10-step trajectory."""
+    sched = DDIMScheduler(DDIMConfig(beta_start=0.0001, beta_end=0.02,
+                                     beta_schedule="linear", clip_sample=False))
+    ts = sched.set_timesteps(10)
+    assert ts[0] == 900 and ts[-1] == 0 and len(ts) == 10
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    betas = np.linspace(0.0001, 0.02, 1000)
+    ac = np.cumprod(1 - betas)
+
+    xj = jnp.asarray(x)
+    xn = x.copy()
+    for t in ts:
+        eps = 0.1 * xn  # deterministic mock epsilon
+        # numpy reference
+        a_t = ac[t]
+        prev = t - 100
+        a_p = ac[prev] if prev >= 0 else 1.0
+        x0 = (xn - (1 - a_t) ** 0.5 * eps) / a_t**0.5
+        xn = a_p**0.5 * x0 + (1 - a_p) ** 0.5 * eps
+        # jax scheduler
+        xj = sched.step(jnp.asarray(0.1) * xj, int(t), xj)
+    np.testing.assert_allclose(np.asarray(xj), xn, rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_v_prediction_and_zero_snr():
+    sched = DDIMScheduler(DDIMConfig(prediction_type="v_prediction",
+                                     rescale_betas_zero_snr=True,
+                                     timestep_spacing="trailing"))
+    ts = sched.set_timesteps(10)
+    assert ts[0] == 999  # trailing starts at T-1
+    assert sched.alphas_cumprod[-1] == 0.0  # zero terminal SNR
+    x = jnp.ones((1, 4, 2, 4, 4))
+    # t=999 has alpha=0 -> x0 = -v; avoid division issues
+    out = sched.step(0.5 * x, int(ts[1]), x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_add_noise_roundtrip():
+    sched = DDIMScheduler(DDIMConfig())
+    x0 = jnp.ones((2, 3))
+    noise = jnp.zeros((2, 3))
+    out = sched.add_noise(x0, noise, jnp.array([0, 999]))
+    a0 = sched.alphas_cumprod[0] ** 0.5
+    np.testing.assert_allclose(out[0], np.full(3, a0), rtol=1e-6)
+
+
+# ------------------------- pipeline smoke ------------------------------- #
+
+def test_latte_pipeline_generate():
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.pipelines.latte.pipeline_latte import (
+        LatteConfig,
+        LattePipeline,
+    )
+
+    cfg = LatteConfig(model_path=None, dtype="fp32",
+                      transformer_config=TINY)
+    vae = AutoencoderKL2D(block_out_channels=(8, 16), layers_per_block=1,
+                          num_groups=4)
+    pipe = LattePipeline(cfg, vae=vae)
+    out = pipe.generate("a cat", num_inference_steps=2, video_length=4,
+                        height=16, width=16, seed=0)
+    assert out.video.shape == (1, 4, 16, 16, 3)
+    assert out.video.dtype == np.uint8
