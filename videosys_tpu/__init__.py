@@ -8,6 +8,11 @@ JAX/XLA/Pallas on TPU. Public API mirrors `videosys/__init__.py:1-22`:
 from videosys_tpu.core.engine import VideoSysEngine
 from videosys_tpu.core.pab import PABConfig
 from videosys_tpu.core.parallel import ParallelConfig, build_mesh
+from videosys_tpu.pipelines.cogvideox.pipeline_cogvideox import (
+    CogVideoXConfig,
+    CogVideoXPABConfig,
+    CogVideoXPipeline,
+)
 from videosys_tpu.pipelines.latte.pipeline_latte import (
     LatteConfig,
     LattePABConfig,
@@ -21,6 +26,9 @@ from videosys_tpu.pipelines.open_sora.pipeline_open_sora import (
 
 __all__ = [
     "VideoSysEngine",
+    "CogVideoXConfig",
+    "CogVideoXPABConfig",
+    "CogVideoXPipeline",
     "LatteConfig",
     "LattePABConfig",
     "LattePipeline",

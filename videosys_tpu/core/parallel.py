@@ -170,6 +170,12 @@ def shard_cross_rows(x):
     return _constrain(x, P(BATCH_AXES, SP_AXIS, None))
 
 
+def shard_tokens(x):
+    """Generic [B, N, C] token-sequence shard over sp (Ulysses resident
+    layout for joint-attention models, cogvideox_transformer_3d.py:531-533)."""
+    return _constrain(x, P(BATCH_AXES, SP_AXIS, None))
+
+
 def ulysses_shard_heads(x):
     """Ulysses-style SP for joint-attention models (cogvideox_transformer_3d.py:112-165):
     [B, N, H, D] with heads sharded over sp, sequence gathered."""
