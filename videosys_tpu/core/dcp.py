@@ -1,0 +1,146 @@
+"""DCP (Data-Centric Parallel) profiler — TPU-native.
+
+Behavioral reference: `videosys/core/dcp/profiler.py` (Profiler :157-903 —
+two-phase profile run with bs-doubling until OOM :498-764, sp escalation
+:651-708, extrapolation from 2 layers :785-797, dynamics selection :799-822)
+and `core/dcp/recompute.py` (timing hooks).
+
+TPU redesign (SURVEY.md §2.5 plan): the reference inserts autograd timing
+hooks and extrapolates from a truncated model because a CUDA profile run is
+expensive and OOM-fragile. Under XLA we get both costs WITHOUT running:
+`jit(...).lower(...).compile()` exposes a memory analysis (exact HBM plan)
+and a cost analysis (FLOPs); OOM is a static memory check against the chip
+budget, and wall time can additionally be measured by running the compiled
+executable on synthetic data. `optimize_dynamics` then picks, per bucket:
+* the smallest sp whose memory plan fits (doubling like :651-708);
+* the bs ladder (doubling like the reference's plan) and gas for balance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from videosys_tpu.training.buckets import Bucket, BucketId
+from videosys_tpu.training.sampler import DCPPlanner
+
+
+@dataclasses.dataclass
+class BucketProfile:
+    bucket_id: BucketId
+    bs: int
+    sp: int
+    time: float            # seconds per step (measured or estimated)
+    memory_bytes: int      # compiled HBM plan
+    flops: float
+    fits: bool
+
+
+class Profiler:
+    """Per-bucket profiling of a compiled train step.
+
+    `step_builder(thw, bs, sp) -> (jitted_fn, example_args)` must return the
+    train step specialized to one bucket shape (the caller owns model/mesh
+    construction so dynamic-sp uses a MeshPool on real hardware).
+    """
+
+    def __init__(
+        self,
+        bucket: Bucket,
+        step_builder: Callable,
+        memory_budget_bytes: Optional[int] = None,
+        sp_candidates: Tuple[int, ...] = (1,),
+        measure_wall_time: bool = False,
+        alloc_memory_fraction: float = 0.70,
+    ):
+        self.bucket = bucket
+        self.step_builder = step_builder
+        if memory_budget_bytes is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                memory_budget_bytes = int(stats.get("bytes_limit", 16 << 30))
+            except Exception:
+                memory_budget_bytes = 16 << 30
+        # same deadlock-avoidance margin the reference documents
+        # (profiler.py:500-503 / train.py:500-504)
+        self.memory_budget = int(memory_budget_bytes * alloc_memory_fraction)
+        self.sp_candidates = tuple(sorted(sp_candidates))
+        self.measure_wall_time = measure_wall_time
+        self.results: Dict[BucketId, BucketProfile] = {}
+
+    # ------------------------------------------------------------------ #
+    def _analyze(self, thw, bs: int, sp: int) -> Tuple[float, int, float, object, tuple]:
+        fn, args = self.step_builder(thw, bs, sp)
+        lowered = jax.jit(fn) if not hasattr(fn, "lower") else fn
+        compiled = lowered.lower(*args).compile()
+        mem = compiled.memory_analysis()
+        mem_bytes = 0
+        if mem is not None:
+            mem_bytes = int(
+                getattr(mem, "temp_size_in_bytes", 0)
+                + getattr(mem, "argument_size_in_bytes", 0)
+                + getattr(mem, "output_size_in_bytes", 0)
+                + getattr(mem, "generated_code_size_in_bytes", 0)
+            )
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float((cost or {}).get("flops", 0.0))
+        return mem_bytes, flops, compiled, args
+
+    def profile_bucket(self, bucket_id: BucketId, bs: int) -> BucketProfile:
+        """Escalate sp (x2, :651-708) until the compiled memory plan fits."""
+        thw = self.bucket.get_thw(bucket_id)
+        last = None
+        for sp in self.sp_candidates:
+            try:
+                mem_bytes, flops, compiled, args = self._analyze(thw, bs, sp)
+            except Exception:
+                continue
+            fits = mem_bytes <= self.memory_budget
+            t = flops / 1e12  # crude prior: seconds at 1 TFLOP/s, refined below
+            if fits and self.measure_wall_time:
+                out = compiled(*args)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                out = compiled(*args)
+                jax.block_until_ready(out)
+                t = time.perf_counter() - t0
+            last = BucketProfile(bucket_id, bs, sp, t, mem_bytes, flops, fits)
+            if fits:
+                break
+        if last is None:
+            last = BucketProfile(bucket_id, bs, self.sp_candidates[0],
+                                 float("inf"), 0, 0.0, False)
+        self.results[bucket_id] = last
+        return last
+
+    def profile_all(self) -> Dict[BucketId, BucketProfile]:
+        for hw_id, t_probs in self.bucket.bucket_probs.items():
+            for t_id in t_probs:
+                ar_id = next(iter(self.bucket.ar_criteria[hw_id]))
+                bid = (hw_id, t_id, ar_id)
+                bs = max(1, self.bucket.get_batch_size(bid))
+                self.profile_bucket(bid, bs)
+        return self.results
+
+    # ------------------------------------------------------------------ #
+    def make_planner(self) -> DCPPlanner:
+        """Convert profiles into the sampler's (sp, gas) planner
+        (optimize_dynamics :799-822: balance every step to the slowest
+        bucket's step time)."""
+        profile = {
+            bid: {"time": p.time, "sp": p.sp}
+            for bid, p in self.results.items() if p.fits
+        }
+        target = max((p["time"] for p in profile.values()), default=None)
+        return DCPPlanner(profile=profile, target_time=target)
+
+    def dump(self) -> dict:
+        return {
+            str(bid): dataclasses.asdict(p) for bid, p in self.results.items()
+        }

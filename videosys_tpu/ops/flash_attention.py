@@ -43,7 +43,8 @@ def _flash_kernel(
     q_ref,      # [block_q, d]
     k_ref,      # [block_kv, d]
     v_ref,      # [block_kv, d]
-    mask_ref,   # [1, block_kv] bool or None
+    mask_ref,   # [B, block_kv] bool or None (full batch rows; TPU tiling
+                # forbids sublane-1 blocks, so the row is selected in-kernel)
     o_ref,      # [block_q, d]
     m_scratch,  # [block_q, LANES] f32
     l_scratch,  # [block_q, LANES] f32
@@ -52,6 +53,7 @@ def _flash_kernel(
     scale: float,
     kv_seq_len: int,
     block_kv: int,
+    num_heads: int = 1,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -73,7 +75,9 @@ def _flash_kernel(
     kv_pos = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     valid = kv_pos < kv_seq_len
     if mask_ref is not None:
-        valid = jnp.logical_and(valid, mask_ref[...])  # [1, block_kv] broadcasts
+        batch = pl.program_id(0) // num_heads
+        row = mask_ref[pl.ds(batch, 1), :]  # [1, block_kv], broadcasts
+        valid = jnp.logical_and(valid, row)
     s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
     m_prev = m_scratch[...]                     # [bq, LANES]
@@ -148,7 +152,7 @@ def _flash_attention_fwd_impl(
     if kv_mask is not None:
         maskp = jnp.pad(kv_mask, ((0, 0), (0, Nkp - Nk)))
         in_specs.append(
-            pl.BlockSpec((1, block_kv), lambda b, i, j, H=H: (b // H, j))
+            pl.BlockSpec((B, block_kv), lambda b, i, j: (0, j))
         )
         args.append(maskp)
         kernel_mask = True
@@ -158,14 +162,13 @@ def _flash_attention_fwd_impl(
     def kernel(*refs):
         if kernel_mask:
             q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s = refs
-            mask2d = mask_ref.at[0]
         else:
             q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s = refs
-            mask2d = None
+            mask_ref = None
         _flash_kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], mask2d, o_ref.at[0],
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], mask_ref, o_ref.at[0],
             m_s, l_s, acc_s,
-            scale=scale, kv_seq_len=Nk, block_kv=block_kv,
+            scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
         )
 
     out = pl.pallas_call(

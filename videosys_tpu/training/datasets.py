@@ -1,0 +1,184 @@
+"""Training datasets.
+
+Behavioral reference: `videosys/training/datasets/open_sora/datasets.py`
+(VariableVideoTextDataset :131-228, DummyVariableVideoTextDataset :229-448
+with zipf/uniform synthetic size distributions, preprocessed-latents mode)
+and `utils.py:239-336` (MaskGenerator).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Sample:
+    index: int
+    num_frames: int
+    height: int
+    width: int
+    text: str
+    path: Optional[str] = None
+
+
+class VariableVideoTextDataset:
+    """CSV-driven dataset: columns (path, text, num_frames, height, width)
+    (datasets.py:131-228). Video pixels are loaded lazily per item; when only
+    shapes are needed (bucketing/profiling) no IO happens."""
+
+    def __init__(self, csv_path: str, transform=None):
+        import pandas as pd
+
+        self.df = pd.read_csv(csv_path)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.df)
+
+    def shape_of(self, i: int) -> Tuple[int, int, int]:
+        row = self.df.iloc[i]
+        return int(row["num_frames"]), int(row["height"]), int(row["width"])
+
+    def shapes(self) -> List[Tuple[int, int, int]]:
+        return [self.shape_of(i) for i in range(len(self))]
+
+    def __getitem__(self, i: int) -> Sample:
+        row = self.df.iloc[i]
+        return Sample(i, int(row["num_frames"]), int(row["height"]),
+                      int(row["width"]), str(row.get("text", "")),
+                      row.get("path"))
+
+    def load_video(self, i: int, target_thw: Tuple[int, int, int]) -> np.ndarray:
+        """Read + resize-crop to the bucket shape -> [C, T, H, W] in [-1, 1]
+        (read_video.py + video_transforms.py equivalents via imageio/cv2)."""
+        import cv2
+
+        sample = self[i]
+        T, H, W = target_thw
+        cap = cv2.VideoCapture(sample.path)
+        frames = []
+        while len(frames) < T:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frames.append(_resize_crop(frame, H, W))
+        cap.release()
+        if not frames:
+            raise IOError(f"cannot read {sample.path}")
+        while len(frames) < T:
+            frames.append(frames[-1])
+        video = np.stack(frames[:T]).astype(np.float32) / 127.5 - 1.0
+        return np.transpose(video, (3, 0, 1, 2))
+
+
+def _resize_crop(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Resize shorter side then center-crop (video_transforms.py semantics)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = max(H / h, W / w)
+    img = cv2.resize(img, (int(round(w * scale)), int(round(h * scale))))
+    h, w = img.shape[:2]
+    top, left = (h - H) // 2, (w - W) // 2
+    return img[top:top + H, left:left + W]
+
+
+class DummyVariableVideoTextDataset:
+    """Synthetic dataset with zipf/uniform size distributions
+    (datasets.py:229-448, _build_dummy_dataset :268). Used by the scheduler
+    dry-run test (tests/test_sampler.py in the reference)."""
+
+    def __init__(
+        self,
+        size: int = 1000,
+        distribution: str = "zipf",  # zipf | uniform
+        seed: int = 0,
+        frames_choices: Tuple[int, ...] = (1, 34, 51, 102),
+        resolution_choices: Tuple[Tuple[int, int], ...] = (
+            (144, 256), (240, 426), (360, 640), (480, 854), (720, 1280)),
+        in_channels: int = 4,
+    ):
+        rng = np.random.default_rng(seed)
+        self.in_channels = in_channels
+        if distribution == "zipf":
+            f_w = 1.0 / np.arange(1, len(frames_choices) + 1) ** 1.5
+            r_w = 1.0 / np.arange(1, len(resolution_choices) + 1) ** 1.5
+        else:
+            f_w = np.ones(len(frames_choices))
+            r_w = np.ones(len(resolution_choices))
+        f_w, r_w = f_w / f_w.sum(), r_w / r_w.sum()
+        fi = rng.choice(len(frames_choices), size=size, p=f_w)
+        ri = rng.choice(len(resolution_choices), size=size, p=r_w)
+        self._shapes = [
+            (frames_choices[a], *resolution_choices[b]) for a, b in zip(fi, ri)
+        ]
+
+    def __len__(self):
+        return len(self._shapes)
+
+    def shapes(self) -> List[Tuple[int, int, int]]:
+        return list(self._shapes)
+
+    def shape_of(self, i: int) -> Tuple[int, int, int]:
+        return self._shapes[i]
+
+    def load_latents(self, indices, latent_thw, rng_seed: int = 0) -> np.ndarray:
+        """Synthetic pre-encoded latents [B, C, T', h, w] (ProfileDataIter
+        semantics, profiler.py:121-149)."""
+        rng = np.random.default_rng(rng_seed)
+        t, h, w = latent_thw
+        return rng.standard_normal(
+            (len(indices), self.in_channels, t, h, w)).astype(np.float32)
+
+
+class MaskGenerator:
+    """Frame-conditioning mask sampler (utils.py:239-336): mixes mask types
+    by ratio; returns bool [B, T] (True = denoise this frame)."""
+
+    TYPES = ("identity", "random", "mask_head", "mask_tail", "mask_head_tail",
+             "quarter_head", "quarter_tail", "quarter_head_tail",
+             "interpolate", "image")
+
+    def __init__(self, mask_ratios: dict):
+        assert abs(sum(mask_ratios.values()) - 1.0) < 1e-6
+        for k in mask_ratios:
+            assert k in self.TYPES, f"unknown mask type {k}"
+        self.types = list(mask_ratios.keys())
+        self.probs = np.array([mask_ratios[k] for k in self.types])
+
+    def _single(self, T: int, rng) -> np.ndarray:
+        kind = rng.choice(self.types, p=self.probs)
+        mask = np.ones(T, dtype=bool)
+        if T == 1 or kind == "identity":
+            return mask
+        if kind == "image":
+            return mask  # single-frame handled upstream
+        edit = max(1, int(rng.integers(1, max(2, T // 4))))
+        quarter = max(1, T // 4)
+        if kind == "random":
+            mask[rng.choice(T, size=edit, replace=False)] = False
+        elif kind == "mask_head":
+            mask[:edit] = False
+        elif kind == "mask_tail":
+            mask[-edit:] = False
+        elif kind == "mask_head_tail":
+            mask[:edit] = False
+            mask[-edit:] = False
+        elif kind == "quarter_head":
+            mask[:quarter] = False
+        elif kind == "quarter_tail":
+            mask[-quarter:] = False
+        elif kind == "quarter_head_tail":
+            mask[:quarter] = False
+            mask[-quarter:] = False
+        elif kind == "interpolate":
+            mask[::2] = False
+        return mask
+
+    def __call__(self, batch: int, T: int, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return np.stack([self._single(T, rng) for _ in range(batch)])

@@ -1,0 +1,148 @@
+"""Variable-video batch sampler with DCP dynamic scheduling.
+
+Behavioral reference: `videosys/training/datasets/open_sora/sampler.py`
+(VariableVideoBatchSampler :73-1098 — bucketization :300-326, plain
+bucketized schedule :142-285, grad-acc balance :328-575, sp-balance
+:576-871, resumable state :1090-1098).
+
+TPU-native shape: the reference packs per-GPU micro-batches across NCCL
+ranks; under SPMD one process drives the whole mesh, so the sampler emits
+GLOBAL batch plans — each `BatchPlan` is one bucket's (shape-static) batch
+tagged with the (sp_size, gas) the DCP profile selected. Distinct bucket
+shapes map to distinct compiled executables (bounded by the bucket config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import OrderedDict, defaultdict
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from videosys_tpu.training.buckets import Bucket, BucketId
+
+
+@dataclasses.dataclass
+class BatchPlan:
+    bucket_id: BucketId
+    indices: List[int]      # dataset rows (global batch)
+    sp_size: int = 1
+    gas: int = 1            # gradient accumulation steps
+    thw: Tuple[int, int, int] = (1, 0, 0)
+
+
+@dataclasses.dataclass
+class DCPPlanner:
+    """Per-bucket (sp, gas) decisions from a profile table
+    {bucket_id: {"time": seconds_per_micro_batch, "sp": sp_size}}.
+    `optimize_dynamics` mirrors profiler.optimize_dynamics
+    (core/dcp/profiler.py:799-822): pick the profiled sp, and choose gas so
+    each global step costs about `target_time`."""
+
+    profile: Dict[BucketId, dict]
+    target_time: Optional[float] = None
+
+    def plan(self, bucket_id: BucketId) -> Tuple[int, int]:
+        entry = self.profile.get(bucket_id)
+        if entry is None:
+            return 1, 1
+        sp = int(entry.get("sp", 1))
+        gas = 1
+        if self.target_time and entry.get("time"):
+            gas = max(1, round(self.target_time / float(entry["time"])))
+        return sp, gas
+
+
+class VariableVideoBatchSampler:
+    """Groups dataset rows into buckets and yields shape-static batch plans."""
+
+    def __init__(
+        self,
+        bucket: Bucket,
+        sample_shapes: Sequence[Tuple[int, int, int]],  # (T, H, W) per row
+        batch_multiplier: int = 1,   # dp size: global batch = bs * multiplier
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        frame_interval: int = 1,
+        planner: Optional[DCPPlanner] = None,
+        verbose: bool = False,
+    ):
+        self.bucket = bucket
+        self.sample_shapes = list(sample_shapes)
+        self.batch_multiplier = batch_multiplier
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.frame_interval = frame_interval
+        self.planner = planner
+        self.verbose = verbose
+        self.epoch = 0
+        self.start_index = 0  # resume support (sampler.py:228-240)
+        self.effective_samples = 0
+        self.last_bucket_stats: Dict[BucketId, int] = {}
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def group_by_bucket(self) -> "OrderedDict[BucketId, List[int]]":
+        """sampler.py:300-326 (pandarallel loop -> plain loop)."""
+        groups: Dict[BucketId, List[int]] = defaultdict(list)
+        for i, (T, H, W) in enumerate(self.sample_shapes):
+            bid = self.bucket.get_bucket_id(
+                T, H, W, self.frame_interval, seed=self.seed + self.epoch)
+            if bid is not None:
+                groups[bid].append(i)
+        return OrderedDict(sorted(groups.items(), key=lambda kv: str(kv[0])))
+
+    def _build_plans(self) -> List[BatchPlan]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        groups = self.group_by_bucket()
+        self.last_bucket_stats = {k: len(v) for k, v in groups.items()}
+        plans: List[BatchPlan] = []
+        self.effective_samples = 0
+        for bid, idxs in groups.items():
+            idxs = np.asarray(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            bs = self.bucket.get_batch_size(bid) * self.batch_multiplier
+            if bs <= 0:
+                continue
+            n_full = len(idxs) // bs
+            for j in range(n_full):
+                chunk = idxs[j * bs:(j + 1) * bs].tolist()
+                sp, gas = self.planner.plan(bid) if self.planner else (1, 1)
+                plans.append(BatchPlan(bid, chunk, sp, gas,
+                                       self.bucket.get_thw(bid)))
+                self.effective_samples += len(chunk)
+            if not self.drop_last and len(idxs) % bs:
+                chunk = idxs[n_full * bs:].tolist()
+                sp, gas = self.planner.plan(bid) if self.planner else (1, 1)
+                plans.append(BatchPlan(bid, chunk, sp, gas,
+                                       self.bucket.get_thw(bid)))
+                self.effective_samples += len(chunk)
+        if self.shuffle:
+            order = rng.permutation(len(plans))
+            plans = [plans[i] for i in order]
+        return plans
+
+    def __iter__(self) -> Iterator[BatchPlan]:
+        plans = self._build_plans()
+        for i, plan in enumerate(plans):
+            if i < self.start_index:
+                continue
+            yield plan
+        self.start_index = 0
+
+    def __len__(self) -> int:
+        return len(self._build_plans())
+
+    # --- resume (sampler.py:1090-1098) -------------------------------- #
+    def state_dict(self, step: int) -> dict:
+        return {"seed": self.seed, "epoch": self.epoch, "start_index": step}
+
+    def load_state_dict(self, state: dict):
+        self.seed = state["seed"]
+        self.epoch = state["epoch"]
+        self.start_index = state["start_index"]
