@@ -23,6 +23,12 @@ from videosys_tpu.pipelines.open_sora.pipeline_open_sora import (
     OpenSoraPABConfig,
     OpenSoraPipeline,
 )
+from videosys_tpu.pipelines.open_sora_plan.pipeline_open_sora_plan import (
+    OpenSoraPlanConfig,
+    OpenSoraPlanPipeline,
+    OpenSoraPlanV110PABConfig,
+    OpenSoraPlanV120PABConfig,
+)
 
 __all__ = [
     "VideoSysEngine",
@@ -38,4 +44,8 @@ __all__ = [
     "OpenSoraConfig",
     "OpenSoraPABConfig",
     "OpenSoraPipeline",
+    "OpenSoraPlanConfig",
+    "OpenSoraPlanPipeline",
+    "OpenSoraPlanV110PABConfig",
+    "OpenSoraPlanV120PABConfig",
 ]

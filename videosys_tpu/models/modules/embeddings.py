@@ -194,3 +194,37 @@ def apply_rope(x: jax.Array, positions: jax.Array | np.ndarray, freqs: np.ndarra
     x_pairs = x_f.reshape(x.shape[:-1] + (-1, 2))
     x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1).reshape(x.shape)
     return (x_f * cos + x_rot * sin).astype(x.dtype)
+
+
+def rope_axis_tables(dim: int, length: int, scale: float = 1.0,
+                     theta: float = 10000.0) -> tuple[np.ndarray, np.ndarray]:
+    """1D RoPE (cos, sin) tables with duplicated halves ([freqs, freqs]),
+    rotate-half convention (OSP RoPE1D/RoPE2D/RoPE3D get_cos_sin,
+    open_sora_plan_v110_transformer_3d.py:199-243 /
+    open_sora_plan_v120_transformer_3d.py:73-84). Returns [length, dim]."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    t = np.arange(length, dtype=np.float32) / scale
+    freqs = np.outer(t, inv_freq)
+    freqs = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(freqs), np.sin(freqs)
+
+
+def apply_rope_multiaxis(x: jax.Array, cos, sin, n_axes: int) -> jax.Array:
+    """Split the head dim into `n_axes` equal chunks and rotate each with its
+    axis table (OSP RoPE2D.forward :167-186 / RoPE3D.forward :97-119).
+
+    x: [..., N, D_total]; cos/sin: [N, D_total] (per-token, axes concatenated),
+    broadcastable against x. rotate_half is applied within each chunk."""
+    D = x.shape[-1] // n_axes
+    cos = jnp.asarray(cos, jnp.float32)
+    sin = jnp.asarray(sin, jnp.float32)
+    xf = x.astype(jnp.float32)
+    parts = []
+    for i in range(n_axes):
+        tok = xf[..., i * D:(i + 1) * D]
+        c = cos[..., i * D:(i + 1) * D]
+        s = sin[..., i * D:(i + 1) * D]
+        x1, x2 = tok[..., : D // 2], tok[..., D // 2:]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        parts.append(tok * c + rot * s)
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)

@@ -29,7 +29,9 @@ from videosys_tpu.models.modules.blocks import MultiHeadCrossAttention, SelfAtte
 from videosys_tpu.models.modules.embeddings import (
     Mlp,
     TimestepEmbedder,
+    apply_rope_multiaxis,
     pos_embed_2d,
+    rope_axis_tables,
     timestep_embedding,
 )
 from videosys_tpu.models.modules.normalization import layer_norm
@@ -52,6 +54,7 @@ class LatteConfig:
     sample_size: int = 64
     norm_eps: float = 1e-5
     learned_sigma: bool = True
+    use_rope: bool = False   # OSP v1.1 RoPE2D/1D variant (v110 :2256-2262)
     dtype: Any = jnp.float32
 
     @property
@@ -99,6 +102,7 @@ class LatteSpatialBlock(nn.Module):
     bcast_attn: bool = False
     bcast_cross: bool = False
     mlp_cached: bool = False
+    rope: Any = None  # callable [B,H,N,D] -> rotated (RoPE2D, v110 :136-186)
 
     @nn.compact
     def __call__(self, x, y, t_6c, kv_mask, cache, mlp_save, mlp_use):
@@ -119,7 +123,7 @@ class LatteSpatialBlock(nn.Module):
             hr = par.shard_merged_rows(hr)
             attn_out = SelfAttention(
                 dim=C, num_heads=cfg.num_heads, qk_norm=False,
-                dtype=cfg.dtype, name="attn1",
+                dtype=cfg.dtype, rope=self.rope, name="attn1",
             )(hr).reshape(B, T, S, C)
             attn_out = gate_msa * attn_out
         if "attn" in cache:
@@ -154,6 +158,7 @@ class LatteTemporalBlock(nn.Module):
     config: LatteConfig
     bcast_attn: bool = False
     mlp_cached: bool = False
+    rope: Any = None  # RoPE1D over frames (v110 :199-243)
 
     @nn.compact
     def __call__(self, x, t_6c, cache, mlp_save, mlp_use):
@@ -176,7 +181,7 @@ class LatteTemporalBlock(nn.Module):
             hr = par.shard_merged_rows(hr)
             a = SelfAttention(
                 dim=C, num_heads=cfg.num_heads, qk_norm=False,
-                dtype=cfg.dtype, name="attn1",
+                dtype=cfg.dtype, rope=self.rope, name="attn1",
             )(hr)
             a = jnp.swapaxes(a.reshape(B, S, T, C), 1, 2)
             attn_out = par.shard_temporal(a)  # flip back to frame shard
@@ -201,6 +206,8 @@ class LatteDepthPair(nn.Module):
     cache_keys_spatial: Tuple[str, ...] = ()
     cache_keys_temporal: Tuple[str, ...] = ()
     first_pair_temp_pos: bool = False  # handled by caller via scanned flag
+    rope_spatial: Any = None
+    rope_temporal: Any = None
 
     @nn.compact
     def __call__(self, x, scanned, y, t_6c, kv_mask, temp_pos):
@@ -208,7 +215,8 @@ class LatteDepthPair(nn.Module):
         plan = self.plan
         x, nc_s = LatteSpatialBlock(
             config=self.config, bcast_attn=plan.spatial, bcast_cross=plan.cross,
-            mlp_cached="mlp" in self.cache_keys_spatial, name="spatial",
+            mlp_cached="mlp" in self.cache_keys_spatial,
+            rope=self.rope_spatial, name="spatial",
         )(x, y, t_6c, kv_mask, caches.get("spatial", {}),
           mlp_flags.get("spatial_save", False), mlp_flags.get("spatial_use", False))
         if x.shape[1] > 1 and temp_pos is not None:
@@ -217,7 +225,8 @@ class LatteDepthPair(nn.Module):
             x = x + jnp.where(is_first, 1.0, 0.0) * temp_pos
         x, nc_t = LatteTemporalBlock(
             config=self.config, bcast_attn=plan.temporal,
-            mlp_cached="mlp" in self.cache_keys_temporal, name="temporal",
+            mlp_cached="mlp" in self.cache_keys_temporal,
+            rope=self.rope_temporal, name="temporal",
         )(x, t_6c, caches.get("temporal", {}),
           mlp_flags.get("temporal_save", False), mlp_flags.get("temporal_use", False))
         new_caches = {}
@@ -336,10 +345,36 @@ class LatteT2V(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
         )
+        rope_s = rope_t = None
+        if cfg.use_rope:
+            # RoPE2D on spatial attention: head_dim halves over (y, x)
+            # (v110 make_position :2381-2384, AttnProcessor :1125-1268);
+            # linear scaling divides positions by the interpolation scale.
+            scale_2d = max((cfg.sample_size // 64) if cfg.sample_size else 1, 1)
+            vl = cfg.video_length
+            scale_1d = max(((vl - 1) // 16) if vl % 2 == 1 else vl // 16, 1)
+            D = cfg.head_dim
+            cy, sy = rope_axis_tables(D // 2, h_p, float(scale_2d))
+            cx, sx = rope_axis_tables(D // 2, w_p, float(scale_2d))
+            cos2 = np.concatenate([
+                np.broadcast_to(cy[:, None], (h_p, w_p, D // 2)),
+                np.broadcast_to(cx[None, :], (h_p, w_p, D // 2)),
+            ], axis=-1).reshape(S, D)
+            sin2 = np.concatenate([
+                np.broadcast_to(sy[:, None], (h_p, w_p, D // 2)),
+                np.broadcast_to(sx[None, :], (h_p, w_p, D // 2)),
+            ], axis=-1).reshape(S, D)
+            ct, st = rope_axis_tables(D, T, float(scale_1d))
+            rope_s = lambda q: apply_rope_multiaxis(
+                q, cos2[None, None], sin2[None, None], 2)
+            rope_t = lambda q: apply_rope_multiaxis(
+                q, ct[None, None], st[None, None], 1)
+
         xs, new_caches = ScanPairs(
             config=cfg, plan=self.plan,
             cache_keys_spatial=self.cache_keys(False),
             cache_keys_temporal=self.cache_keys(True),
+            rope_spatial=rope_s, rope_temporal=rope_t,
             name="blocks",
         )(xe, scanned, y, t_6c, kv_mask, temp_pos)
 
