@@ -29,6 +29,11 @@ from videosys_tpu.pipelines.open_sora_plan.pipeline_open_sora_plan import (
     OpenSoraPlanV110PABConfig,
     OpenSoraPlanV120PABConfig,
 )
+from videosys_tpu.pipelines.vchitect.pipeline_vchitect import (
+    VchitectConfig,
+    VchitectPABConfig,
+    VchitectXLPipeline,
+)
 
 __all__ = [
     "VideoSysEngine",
@@ -48,4 +53,7 @@ __all__ = [
     "OpenSoraPlanPipeline",
     "OpenSoraPlanV110PABConfig",
     "OpenSoraPlanV120PABConfig",
+    "VchitectConfig",
+    "VchitectPABConfig",
+    "VchitectXLPipeline",
 ]
