@@ -1,0 +1,42 @@
+"""Doc-as-test: import and execute every example function with tiny offline
+configs (reference tests/examples/test_sample.py:10-31 executes every
+examples/inference/*/sample.py function)."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(relpath):
+    path = os.path.join(ROOT, relpath)
+    spec = importlib.util.spec_from_file_location(
+        relpath.replace("/", "_").replace(".py", ""), path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("relpath,funcs", [
+    ("examples/inference/open_sora/sample.py", ["run_base", "run_pab"]),
+    ("examples/inference/latte/sample.py", ["run_base"]),
+    ("examples/inference/cogvideox/sample.py", ["run_base"]),
+    ("examples/inference/open_sora_plan/sample.py", ["run_base", "run_v110"]),
+    ("examples/inference/vchitect/sample.py", ["run_base"]),
+])
+def test_inference_examples(relpath, funcs, tmp_path):
+    mod = _load(relpath)
+    for fname in funcs:
+        out = getattr(mod, fname)(tiny=True, outdir=str(tmp_path))
+        assert out and os.path.exists(out)
+
+
+def test_training_example(tmp_path):
+    mod = _load("examples/training/open_sora/train.py")
+    step, history = mod.main(["--tiny", "--max-steps", "2", "--warmup-steps",
+                              "1", "--dataset-size", "8",
+                              "--ckpt-dir", str(tmp_path)])
+    assert step == 2

@@ -13,11 +13,11 @@ def save_video(video, output_path: str, fps: int = 24) -> str:
     import imageio
 
     video = np.asarray(video)
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     if video.ndim == 4 and video.shape[0] == 1:
         output_path = output_path if output_path.endswith(".png") else output_path + ".png"
         imageio.imwrite(output_path, video[0])
         return output_path
-    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     if not output_path.endswith(".mp4"):
         output_path += ".mp4"
     try:
