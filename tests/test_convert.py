@@ -1,0 +1,148 @@
+"""Checkpoint-conversion tests: tree/shape fidelity against model.init and
+numerical parity of the layout conventions vs torch ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosys_tpu.utils import convert as C
+
+
+def _rand_sd(shapes, seed=0):
+    rng = np.random.default_rng(seed)
+    return {k: rng.standard_normal(v).astype(np.float32)
+            for k, v in shapes.items()}
+
+
+def _stdit3_sd(depth=2, hidden=32, heads=2, cap=16, in_ch=4, L=8):
+    head_dim = hidden // heads
+    shapes = {
+        "x_embedder.proj.weight": (hidden, in_ch, 1, 2, 2),
+        "x_embedder.proj.bias": (hidden,),
+        "t_embedder.mlp.0.weight": (hidden, 256),
+        "t_embedder.mlp.0.bias": (hidden,),
+        "t_embedder.mlp.2.weight": (hidden, hidden),
+        "t_embedder.mlp.2.bias": (hidden,),
+        "fps_embedder.mlp.0.weight": (hidden, 256),
+        "fps_embedder.mlp.0.bias": (hidden,),
+        "fps_embedder.mlp.2.weight": (hidden, hidden),
+        "fps_embedder.mlp.2.bias": (hidden,),
+        "t_block.1.weight": (6 * hidden, hidden),
+        "t_block.1.bias": (6 * hidden,),
+        "y_embedder.y_embedding": (L, cap),
+        "y_embedder.y_proj.fc1.weight": (hidden, cap),
+        "y_embedder.y_proj.fc1.bias": (hidden,),
+        "y_embedder.y_proj.fc2.weight": (hidden, hidden),
+        "y_embedder.y_proj.fc2.bias": (hidden,),
+        "final_layer.linear.weight": (1 * 2 * 2 * 2 * in_ch, hidden),
+        "final_layer.linear.bias": (1 * 2 * 2 * 2 * in_ch,),
+        "final_layer.scale_shift_table": (2, hidden),
+    }
+    for i in range(depth):
+        for b in (f"spatial_blocks.{i}", f"temporal_blocks.{i}"):
+            shapes.update({
+                f"{b}.scale_shift_table": (6, hidden),
+                f"{b}.attn.qkv.weight": (3 * hidden, hidden),
+                f"{b}.attn.qkv.bias": (3 * hidden,),
+                f"{b}.attn.proj.weight": (hidden, hidden),
+                f"{b}.attn.proj.bias": (hidden,),
+                f"{b}.attn.q_norm.weight": (head_dim,),
+                f"{b}.attn.k_norm.weight": (head_dim,),
+                f"{b}.cross_attn.q_linear.weight": (hidden, hidden),
+                f"{b}.cross_attn.q_linear.bias": (hidden,),
+                f"{b}.cross_attn.kv_linear.weight": (2 * hidden, hidden),
+                f"{b}.cross_attn.kv_linear.bias": (2 * hidden,),
+                f"{b}.cross_attn.proj.weight": (hidden, hidden),
+                f"{b}.cross_attn.proj.bias": (hidden,),
+                f"{b}.mlp.fc1.weight": (4 * hidden, hidden),
+                f"{b}.mlp.fc1.bias": (4 * hidden,),
+                f"{b}.mlp.fc2.weight": (hidden, 4 * hidden),
+                f"{b}.mlp.fc2.bias": (hidden,),
+            })
+    return _rand_sd(shapes)
+
+
+def test_convert_stdit3_tree_matches_init():
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+
+    cfg = STDiT3Config(depth=2, hidden_size=32, num_heads=2,
+                       caption_channels=16, model_max_length=8)
+    model = STDiT3(cfg)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 4, 2, 8, 8)),
+                     jnp.zeros((1,)), jnp.zeros((1, 4, 16)),
+                     fps=jnp.full((1,), 24.0), height=64.0, width=64.0)
+    conv = C.convert_stdit3(_stdit3_sd(), depth=2)
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+    conv_shapes = jax.tree.map(lambda x: tuple(x.shape), conv)
+    assert ref_shapes == conv_shapes  # identical structure AND shapes
+    # converted params run through the model
+    out = model.apply(conv, jnp.ones((1, 4, 2, 8, 8)), jnp.full((1,), 500.0),
+                      jnp.ones((1, 4, 16)), fps=jnp.full((1,), 24.0),
+                      height=64.0, width=64.0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_linear_conversion_matches_torch():
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    lin = torch.nn.Linear(6, 10)
+    sd = {f"l.{k}": v for k, v in lin.state_dict().items()}
+    params = {"params": C.linear(sd, "l")}
+    x = np.random.default_rng(0).standard_normal((3, 6)).astype(np.float32)
+    y_t = lin(torch.from_numpy(x)).detach().numpy()
+    y_f = fnn.Dense(10).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_f), y_t, atol=1e-5)
+
+
+def test_conv3d_conversion_matches_torch():
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    cv = torch.nn.Conv3d(4, 8, kernel_size=(1, 2, 2), stride=(1, 2, 2))
+    sd = {f"c.{k}": v for k, v in cv.state_dict().items()}
+    params = {"params": C.conv(sd, "c")}
+    x = np.random.default_rng(0).standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    y_t = cv(torch.from_numpy(x)).detach().numpy()  # [1, 8, 2, 4, 4]
+    x_f = jnp.transpose(jnp.asarray(x), (0, 2, 3, 4, 1))  # NDHWC
+    y_f = fnn.Conv(8, (1, 2, 2), strides=(1, 2, 2), padding="VALID").apply(
+        params, x_f)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(y_f, (0, 4, 1, 2, 3))),
+                               y_t, atol=1e-4)
+
+
+def test_qkv_row_order_matches_reference_reshape():
+    """The fused qkv rows must split as (q, k, v) exactly like the reference's
+    reshape (attentions.py:54: .reshape(B, N, 3, H, D))."""
+    torch = pytest.importorskip("torch")
+    hidden, heads = 8, 2
+    lin = torch.nn.Linear(hidden, 3 * hidden)
+    x = torch.randn(1, 5, hidden)
+    qkv_t = lin(x).reshape(1, 5, 3, heads, hidden // heads)
+    q_t = qkv_t[:, :, 0]
+
+    sd = {f"qkv.{k}": v for k, v in lin.state_dict().items()}
+    w = C.linear(sd, "qkv")
+    xf = jnp.asarray(x.numpy())
+    qkv_f = (xf @ w["kernel"] + w["bias"]).reshape(1, 5, 3, heads, hidden // heads)
+    np.testing.assert_allclose(np.asarray(qkv_f[:, :, 0]), q_t.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_safetensors_checkpoint_roundtrip(tmp_path):
+    """Write a reference-layout safetensors checkpoint; the pipeline loader
+    must convert it and produce the exact same params as convert_stdit3."""
+    from safetensors.numpy import save_file
+
+    from videosys_tpu.utils.checkpoint import load_stdit3_torch_checkpoint
+
+    sd = _stdit3_sd()
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    loaded = load_stdit3_torch_checkpoint(str(tmp_path), depth=2)
+    direct = C.convert_stdit3(sd, depth=2)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(loaded),
+            jax.tree_util.tree_leaves_with_path(direct)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(a, b)

@@ -155,18 +155,20 @@ class OpenSoraPipeline(VideoSysPipeline):
         paths resolve to local orbax/safetensors dirs — see load_params)."""
         from videosys_tpu.utils.checkpoint import try_load_params
 
-        loaded = try_load_params(self._config)
-        if loaded is not None:
-            return loaded
+        loaded = try_load_params(self._config) or {}
         mc = self.model_config
-        model = STDiT3(mc)
-        dummy_x = jnp.zeros((1, mc.in_channels, 2, 8, 8), jnp.float32)
-        dummy_t = jnp.zeros((1,), jnp.float32)
-        dummy_y = jnp.zeros((1, 4, mc.caption_channels), jnp.float32)
-        p_transformer = model.init(jax.random.key(seed), dummy_x, dummy_t,
-                                   dummy_y, height=64.0, width=64.0)
-        p_vae = self.vae.init(jax.random.key(seed + 1))
-        return {"transformer": p_transformer, "vae": p_vae}
+        params = dict(loaded)
+        if "transformer" not in params:
+            model = STDiT3(mc)
+            dummy_x = jnp.zeros((1, mc.in_channels, 2, 8, 8), jnp.float32)
+            dummy_t = jnp.zeros((1,), jnp.float32)
+            dummy_y = jnp.zeros((1, 4, mc.caption_channels), jnp.float32)
+            params["transformer"] = model.init(
+                jax.random.key(seed), dummy_x, dummy_t, dummy_y,
+                height=64.0, width=64.0)
+        if "vae" not in params:
+            params["vae"] = self.vae.init(jax.random.key(seed + 1))
+        return params
 
     # ------------------------------------------------------------------ #
     def null_embed(self, n: int) -> jax.Array:

@@ -15,15 +15,50 @@ import os
 from typing import Optional
 
 
-def try_load_params(config) -> Optional[dict]:
-    """Load {transformer, vae} params if config paths are local orbax dirs."""
-    path = getattr(config, "transformer", None)
-    if not path or not os.path.isdir(os.path.join(str(path), "orbax")):
-        return None
-    import orbax.checkpoint as ocp
+def _load_safetensors_dir(path: str) -> Optional[dict]:
+    """Read every *.safetensors shard in an HF checkpoint dir into one flat
+    numpy state dict (the reference's from_pretrained source format)."""
+    import glob
 
-    ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.join(path, "orbax"))
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        return None
+    from safetensors.numpy import load_file
+
+    sd: dict = {}
+    for f in files:
+        sd.update(load_file(f))
+    return sd
+
+
+def load_stdit3_torch_checkpoint(path: str, depth: int = 28) -> Optional[dict]:
+    """Convert a local HF torch checkpoint dir (hpcai-tech/OpenSora-STDiT-v3
+    layout) into STDiT3 Flax params."""
+    sd = _load_safetensors_dir(path)
+    if sd is None:
+        return None
+    from videosys_tpu.utils.convert import convert_stdit3
+
+    return convert_stdit3(sd, depth=depth)
+
+
+def try_load_params(config) -> Optional[dict]:
+    """Load {transformer, vae} params from a local path: an orbax dir saved by
+    this framework, or a reference torch safetensors checkpoint (converted)."""
+    path = getattr(config, "transformer", None)
+    if not path or not os.path.isdir(str(path)):
+        return None
+    if os.path.isdir(os.path.join(str(path), "orbax")):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        return ckpt.restore(os.path.join(path, "orbax"))
+    tcfg = getattr(config, "transformer_config", None)
+    depth = getattr(tcfg, "depth", 28) if tcfg is not None else 28
+    p_t = load_stdit3_torch_checkpoint(str(path), depth=depth)
+    if p_t is not None:
+        return {"transformer": p_t}
+    return None
 
 
 def save_params(params: dict, path: str):
