@@ -52,11 +52,31 @@ def main():
                     **kwargs)
     dt = time.perf_counter() - t0
 
+    # PAB-accelerated run (same config + Pyramid Attention Broadcast),
+    # sharing the dense engine's weights
+    import dataclasses as _dc
+
+    pab_cfg = _dc.replace(config, enable_pab=True) if _dc.is_dataclass(config)         else None
+    if pab_cfg is None:
+        import copy
+
+        pab_cfg = copy.copy(config)
+        pab_cfg.enable_pab = True
+        pab_cfg.__post_init__()
+    pab_engine = VideoSysEngine(pab_cfg, params=engine.driver_worker.params)
+    pab_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
+    t0 = time.perf_counter()
+    pab_engine.generate("a breathtaking sunrise over snowy mountains", seed=1,
+                        **kwargs)
+    dt_pab = time.perf_counter() - t0
+
     metric = "opensora_2s_480p_dense_latency" if on_tpu else "opensora_cpu_smoke_latency"
     print(json.dumps({
         "metric": metric,
         "value": round(dt, 3),
         "unit": "s",
+        "pab_latency_s": round(dt_pab, 3),
+        "pab_speedup": round(dt / dt_pab, 3),
         "vs_baseline": round(BASELINE_DENSE_S / dt, 3) if on_tpu else 0.0,
     }))
 

@@ -6,6 +6,13 @@ into a TrainConfig — the SPMD mesh replaces the process-per-GPU launcher.
 """
 
 import argparse
+import os
+import sys
+
+# allow running straight from a source checkout (no pip install)
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 import jax.numpy as jnp
 

@@ -111,3 +111,50 @@ def test_tiny_training_loss_decreases(tmp_path):
     # checkpoint written
     import os
     assert any("global_step8" in d for d in os.listdir(tmp_path / "ckpt"))
+
+
+def test_video_io_and_preprocess(tmp_path):
+    """Real video IO path: write a synthetic video with cv2, bucket-load it,
+    then run the preprocess entry (latent + text pre-extraction)."""
+    cv2 = pytest.importorskip("cv2")
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    vid_path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 8, (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    csv = tmp_path / "data.csv"
+    pd.DataFrame([{"path": vid_path, "text": "noise clip", "num_frames": 12,
+                   "height": 48, "width": 64}]).to_csv(csv, index=False)
+
+    from videosys_tpu.training.datasets import (
+        VariableVideoTextDataset,
+        temporal_random_crop,
+    )
+
+    ds = VariableVideoTextDataset(str(csv))
+    video = ds.load_video(0, (5, 32, 32), seed=0)
+    assert video.shape == (3, 5, 32, 32)
+    assert video.min() >= -1.0 and video.max() <= 1.0
+
+    idx = temporal_random_crop(12, 4, 2, seed=1)
+    assert len(idx) == 4 and (np.diff(idx) == 2).all() and idx[-1] < 12
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "preprocess", os.path.join(root, "examples/training/open_sora/preprocess.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_csv = mod.main(["--csv", str(csv), "--outdir", str(tmp_path / "pre"),
+                        "--bucket-frames", "5", "--height", "32",
+                        "--width", "32", "--tiny"])
+    df = pd.read_csv(out_csv)
+    assert len(df) == 1
+    lat = np.load(df.iloc[0]["latent_path"])
+    assert lat.shape[0] == 4  # latent channels

@@ -286,7 +286,13 @@ class AutoencoderKLCogVideoX:
 
     # ------------------------------------------------------------------ #
     def encode(self, params, x: jax.Array, rng) -> jax.Array:
-        """x: [B, 3, T, H, W] -> latent sample [B, C_lat, T', H/8, W/8]."""
+        """x: [B, 3, T, H, W] -> latent sample [B, C_lat, T', H/8, W/8].
+        Jitted (one program per input shape)."""
+        from videosys_tpu.utils.jit import jit_method
+
+        return jit_method(self, "_encode_impl")(params, x, rng)
+
+    def _encode_impl(self, params, x: jax.Array, rng) -> jax.Array:
         xl = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         moments = self.encoder.apply(params["encoder"], xl)
         mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -295,6 +301,11 @@ class AutoencoderKLCogVideoX:
         return jnp.transpose(z, (0, 4, 1, 2, 3))
 
     def _decode_tile(self, params, z):
+        from videosys_tpu.utils.jit import jit_method
+
+        return jit_method(self, "_decode_tile_impl")(params, z)
+
+    def _decode_tile_impl(self, params, z):
         return self.decoder.apply(params["decoder"], z)
 
     def decode(self, params, z: jax.Array) -> jax.Array:

@@ -130,7 +130,13 @@ class OpenSoraVAE:
 
     # ------------------------------------------------------------------ #
     def encode(self, params, x: jax.Array, rng) -> jax.Array:
-        """x: [B, C, T, H, W] pixels -> normalized latent [B, C, T_lat, h, w]."""
+        """x: [B, C, T, H, W] pixels -> normalized latent [B, C, T_lat, h, w].
+        Jitted end-to-end (see decode)."""
+        from videosys_tpu.utils.jit import jit_method
+
+        return jit_method(self, "_encode_impl")(params, x, rng)
+
+    def _encode_impl(self, params, x: jax.Array, rng) -> jax.Array:
         x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         r1, r2 = jax.random.split(rng)
         x_z = self.spatial_encode(params, x, r1)  # [B, T, h, w, 4]
@@ -151,7 +157,15 @@ class OpenSoraVAE:
         return jnp.transpose(z, (0, 4, 1, 2, 3))
 
     def decode(self, params, z: jax.Array, num_frames: int) -> jax.Array:
-        """z: [B, C, T_lat, h, w] -> pixels [B, 3, num_frames, H, W]."""
+        """z: [B, C, T_lat, h, w] -> pixels [B, 3, num_frames, H, W].
+        Jitted end-to-end (one compiled program per latent shape) — the
+        chunk/micro-batch loops below unroll at trace time."""
+        from videosys_tpu.utils.jit import jit_method
+
+        return jit_method(self, "_decode_impl", static_argnums=(2,))(
+            params, z, num_frames)
+
+    def _decode_impl(self, params, z: jax.Array, num_frames: int) -> jax.Array:
         z = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         shift = jnp.asarray(SHIFT, z.dtype)
         scale = jnp.asarray(SCALE, z.dtype)

@@ -199,11 +199,13 @@ class LattePipeline(VideoSysPipeline):
                 fn = self._get_step_fn(plans[i], float(guidance_scale), a_t, a_prev)
                 z, cache = fn(self.params["transformer"], z, float(t_i),
                               y_all, kv_mask_all, cache)
-            # per-frame VAE decode (:917-925)
+            # per-frame VAE decode (:917-925), jitted per frame shape
             frames = jnp.transpose(z, (0, 2, 3, 4, 1)).reshape(
                 (B * video_length, h_lat, w_lat, -1))
-            video = self.vae.apply(self.params["vae"], frames / VAE_SCALING,
-                                   method="decode")
+            from videosys_tpu.utils.jit import jit_method
+
+            video = jit_method(self, "_decode_frames")(
+                self.params["vae"], frames)
 
         video = np.asarray(video, np.float32).reshape(
             (B, video_length) + video.shape[1:])
@@ -212,6 +214,9 @@ class LattePipeline(VideoSysPipeline):
         if not return_dict:
             return (video,)
         return VideoSysPipelineOutput(video=video)
+
+    def _decode_frames(self, vae_params, frames):
+        return self.vae.apply(vae_params, frames / VAE_SCALING, method="decode")
 
     def save_video(self, video, output_path: str, fps: int = 8):
         return super().save_video(video, output_path, fps=fps)

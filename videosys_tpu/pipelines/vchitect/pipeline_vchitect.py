@@ -230,12 +230,14 @@ class VchitectXLPipeline(VideoSysPipeline):
                 v = v_uncond + gs * (v_text - v_uncond)
                 z = self.scheduler.step(v, i, z)
 
-            # per-frame 2D decode with SD3 scaling/shift (:980-983)
+            # per-frame 2D decode with SD3 scaling/shift (:980-983), jitted
             lat = z / VAE_SCALING + VAE_SHIFT
             lat = jnp.transpose(lat, (0, 1, 3, 4, 2)).reshape(
                 (frames, h_lat, w_lat, mc.in_channels))
-            video = self.vae.apply(self.params["vae"], lat.astype(self.dtype),
-                                   method="decode")
+            from videosys_tpu.utils.jit import jit_method
+
+            video = jit_method(self, "_decode_frames")(
+                self.params["vae"], lat.astype(self.dtype))
 
         video = np.asarray(video, np.float32)[None]  # [1, F, H, W, C]
         video = np.clip(video / 2 + 0.5, 0, 1)
@@ -243,6 +245,9 @@ class VchitectXLPipeline(VideoSysPipeline):
         if not return_dict:
             return (video,)
         return VideoSysPipelineOutput(video=video)
+
+    def _decode_frames(self, vae_params, frames):
+        return self.vae.apply(vae_params, frames, method="decode")
 
     def save_video(self, video, output_path: str, fps: int = 8):
         return super().save_video(video, output_path, fps=fps)

@@ -51,21 +51,31 @@ class VariableVideoTextDataset:
                       int(row["width"]), str(row.get("text", "")),
                       row.get("path"))
 
-    def load_video(self, i: int, target_thw: Tuple[int, int, int]) -> np.ndarray:
+    def load_video(self, i: int, target_thw: Tuple[int, int, int],
+                   frame_interval: int = 1, seed: int = 0) -> np.ndarray:
         """Read + resize-crop to the bucket shape -> [C, T, H, W] in [-1, 1]
-        (read_video.py + video_transforms.py equivalents via imageio/cv2)."""
+        (read_video.py read_video_cv2 :213-248 + video_transforms.py
+        resize-crop + temporal_random_crop utils.py:76-86: a random
+        T*interval window, strided by frame_interval)."""
         import cv2
 
         sample = self[i]
         T, H, W = target_thw
         cap = cv2.VideoCapture(sample.path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or sample.num_frames
+        keep = temporal_random_crop(total, T, frame_interval, seed + i)
         frames = []
-        while len(frames) < T:
+        idx = 0
+        want = set(keep.tolist())
+        last_needed = int(keep[-1])
+        while idx <= last_needed and len(frames) < T:
             ok, frame = cap.read()
             if not ok:
                 break
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            frames.append(_resize_crop(frame, H, W))
+            if idx in want:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames.append(_resize_crop(frame, H, W))
+            idx += 1
         cap.release()
         if not frames:
             raise IOError(f"cannot read {sample.path}")
@@ -73,6 +83,19 @@ class VariableVideoTextDataset:
             frames.append(frames[-1])
         video = np.stack(frames[:T]).astype(np.float32) / 127.5 - 1.0
         return np.transpose(video, (3, 0, 1, 2))
+
+
+def temporal_random_crop(total: int, num_frames: int, frame_interval: int,
+                         seed: int = 0) -> np.ndarray:
+    """Frame indices of a random temporal window (reference
+    training/datasets/open_sora/utils.py:76-86)."""
+    span = min(num_frames * frame_interval, total)
+    rng = np.random.default_rng(seed)
+    start = int(rng.integers(0, max(total - span, 0) + 1))
+    idx = np.arange(start, start + span, frame_interval)[:num_frames]
+    if len(idx) == 0:
+        idx = np.zeros((1,), np.int64)
+    return idx
 
 
 def _resize_crop(img: np.ndarray, H: int, W: int) -> np.ndarray:

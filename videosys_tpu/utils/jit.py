@@ -1,0 +1,19 @@
+"""Cached jax.jit wrappers for bound methods (used by the VAE wrappers whose
+codecs would otherwise dispatch op-by-op from the host loop)."""
+
+from __future__ import annotations
+
+import jax
+
+
+def jit_method(obj, name: str, static_argnums=()):
+    """jit `getattr(obj, name)` once per (name, static_argnums), cached on the
+    instance. jax's own shape cache handles per-shape specialization."""
+    cache = getattr(obj, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(obj, "_jit_cache", cache)
+    key = (name, tuple(static_argnums))
+    if key not in cache:
+        cache[key] = jax.jit(getattr(obj, name), static_argnums=static_argnums)
+    return cache[key]
