@@ -158,3 +158,71 @@ def test_video_io_and_preprocess(tmp_path):
     assert len(df) == 1
     lat = np.load(df.iloc[0]["latent_path"])
     assert lat.shape[0] == 4  # latent channels
+
+
+def test_timers():
+    import jax.numpy as jnp
+
+    from videosys_tpu.utils.timing import GroupTimer, Timer
+
+    x = jnp.ones((64, 64))
+    with Timer("matmul", sync_on=None) as t:
+        y = x @ x
+    with Timer("matmul-sync", sync_on=y) as t2:
+        y = y @ y
+    assert t.elapsed >= 0 and t2.elapsed > 0
+    with GroupTimer("group", mesh=None) as g:
+        pass
+    assert g.elapsed >= 0
+
+
+def test_gradio_module_importable():
+    """The demo must import (and fail with a clear message only at launch)
+    without the gradio wheel."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gradio_demo", os.path.join(root, "gradio/cogvideox.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert hasattr(mod, "build_engines") and hasattr(mod, "generate_pair")
+
+
+def test_plan_micro_batches_distinct_samples():
+    ds = DummyVariableVideoTextDataset(size=96, seed=0)
+    b = Bucket(BUCKET_CFG)
+    prof = {bid: {"time": 0.1, "sp": 1} for bid in
+            [("144p", 1, "1.00"), ("144p", 34, "1.00")]}
+    planner = DCPPlanner(profile=prof, target_time=0.3)  # gas = 3
+    s = VariableVideoBatchSampler(b, ds.shapes(), seed=0, planner=planner)
+    for plan in s:
+        micro = plan.micro_batches()
+        assert len(micro) == plan.gas
+        flat = [i for m in micro for i in m]
+        assert len(set(flat)) == len(flat)  # distinct samples across micros
+        sizes = {len(m) for m in micro}
+        assert len(sizes) == 1  # shape-static micro-batches
+
+
+def test_pack_global_steps_sp_balance():
+    from videosys_tpu.training.sampler import BatchPlan, pack_global_steps
+
+    plans = [
+        BatchPlan(("240p", 51, "1.00"), [0], sp_size=4, gas=1),
+        BatchPlan(("144p", 51, "1.00"), [1], sp_size=2, gas=1),
+        BatchPlan(("144p", 34, "1.00"), [2], sp_size=1, gas=1),
+        BatchPlan(("144p", 1, "1.00"), [3], sp_size=1, gas=1),
+    ]
+    prof = {("240p", 51, "1.00"): {"time": 0.4}, ("144p", 51, "1.00"): {"time": 0.2},
+            ("144p", 34, "1.00"): {"time": 0.1}, ("144p", 1, "1.00"): {"time": 0.05}}
+    steps = pack_global_steps(plans, world_size=8, profile=prof)
+    # everything fits one 8-chip step (4+2+1+1)
+    assert len(steps) == 1
+    assert sum(p.sp_size for p in steps[0].plans) == 8
+    assert 0.0 <= steps[0].imbalance < 1.0
+    # with only 4 chips, needs more steps and never overflows
+    steps4 = pack_global_steps(plans, world_size=4, profile=prof)
+    assert all(sum(p.sp_size for p in st.plans) <= 4 for st in steps4)
+    assert sum(len(st.plans) for st in steps4) == 4

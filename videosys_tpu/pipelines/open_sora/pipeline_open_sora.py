@@ -168,6 +168,14 @@ class OpenSoraPipeline(VideoSysPipeline):
                 height=64.0, width=64.0)
         if "vae" not in params:
             params["vae"] = self.vae.init(jax.random.key(seed + 1))
+        if self.dtype != jnp.float32:
+            # the reference holds inference weights in half precision
+            # (pipeline_open_sora.py:213-229 torch_dtype=fp16); on TPU this
+            # halves HBM for params and leaves fp32 accumulation to the MXU
+            params = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         return params
 
     # ------------------------------------------------------------------ #

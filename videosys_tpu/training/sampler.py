@@ -26,10 +26,62 @@ from videosys_tpu.training.buckets import Bucket, BucketId
 @dataclasses.dataclass
 class BatchPlan:
     bucket_id: BucketId
-    indices: List[int]      # dataset rows (global batch)
+    indices: List[int]      # dataset rows: bs * gas samples (gas micro-batches)
     sp_size: int = 1
     gas: int = 1            # gradient accumulation steps
     thw: Tuple[int, int, int] = (1, 0, 0)
+
+    def micro_batches(self) -> List[List[int]]:
+        """Split into `gas` equal micro-batches (the reference's collate
+        groups rows by gas the same way, dataloader.py:105-120)."""
+        bs = len(self.indices) // self.gas
+        return [self.indices[k * bs:(k + 1) * bs] for k in range(self.gas)]
+
+
+@dataclasses.dataclass
+class GlobalStep:
+    """One mesh-wide step under dynamic sp: concurrent plans whose sp sizes
+    sum to the device count (the reference packs buckets of differing sp into
+    exactly world_size GPUs, sampler.py:576-871). `imbalance` mirrors the
+    reference's telemetry (:929-958)."""
+
+    plans: List[BatchPlan]
+    est_times: List[float]
+
+    @property
+    def imbalance(self) -> float:
+        if not self.est_times or max(self.est_times) == 0:
+            return 0.0
+        return 1.0 - (sum(self.est_times) / len(self.est_times)) / max(self.est_times)
+
+
+def pack_global_steps(plans: Sequence[BatchPlan], world_size: int,
+                      profile: Optional[dict] = None) -> List[GlobalStep]:
+    """sp-balance packing: greedy first-fit-decreasing of plans into steps of
+    exactly `world_size` chips. Each plan occupies `sp_size` chips for
+    `time(bucket) * gas` seconds (estimated from the DCP profile); plans in a
+    step run concurrently on disjoint sub-meshes (core/parallel.py MeshPool).
+    """
+    def est(p: BatchPlan) -> float:
+        if profile and p.bucket_id in profile:
+            return float(profile[p.bucket_id].get("time", 1.0)) * p.gas
+        return float(p.gas)
+
+    order = sorted(plans, key=est, reverse=True)
+    steps: List[dict] = []
+    for p in order:
+        t = est(p)
+        placed = False
+        for st in steps:
+            if st["chips"] + p.sp_size <= world_size:
+                st["plans"].append(p)
+                st["times"].append(t)
+                st["chips"] += p.sp_size
+                placed = True
+                break
+        if not placed:
+            steps.append({"plans": [p], "times": [t], "chips": p.sp_size})
+    return [GlobalStep(st["plans"], st["times"]) for st in steps]
 
 
 @dataclasses.dataclass
@@ -45,6 +97,14 @@ class DCPPlanner:
 
     def plan(self, bucket_id: BucketId) -> Tuple[int, int]:
         entry = self.profile.get(bucket_id)
+        if entry is None:
+            # the profiler measures one representative aspect ratio per
+            # (resolution, frames) bucket (reference ProfileDataIter uses the
+            # DEFAULT_AR_MAP shape, profiler.py:121-149) — match by prefix
+            for bid, e in self.profile.items():
+                if bid[:2] == bucket_id[:2]:
+                    entry = e
+                    break
         if entry is None:
             return 1, 1
         sp = int(entry.get("sp", 1))
@@ -109,17 +169,23 @@ class VariableVideoBatchSampler:
             bs = self.bucket.get_batch_size(bid) * self.batch_multiplier
             if bs <= 0:
                 continue
-            n_full = len(idxs) // bs
+            sp, gas = self.planner.plan(bid) if self.planner else (1, 1)
+            # a plan carries gas micro-batches of bs DISTINCT samples each
+            # (_calculate_grad_accumulation_num, sampler.py:328-368)
+            chunk_size = bs * gas
+            n_full = len(idxs) // chunk_size
             for j in range(n_full):
-                chunk = idxs[j * bs:(j + 1) * bs].tolist()
-                sp, gas = self.planner.plan(bid) if self.planner else (1, 1)
+                chunk = idxs[j * chunk_size:(j + 1) * chunk_size].tolist()
                 plans.append(BatchPlan(bid, chunk, sp, gas,
                                        self.bucket.get_thw(bid)))
                 self.effective_samples += len(chunk)
-            if not self.drop_last and len(idxs) % bs:
-                chunk = idxs[n_full * bs:].tolist()
-                sp, gas = self.planner.plan(bid) if self.planner else (1, 1)
-                plans.append(BatchPlan(bid, chunk, sp, gas,
+            rem = len(idxs) % chunk_size
+            if not self.drop_last and rem >= bs:
+                # keep whole micro-batches only (shape-static)
+                n_micro = rem // bs
+                chunk = idxs[n_full * chunk_size:
+                             n_full * chunk_size + n_micro * bs].tolist()
+                plans.append(BatchPlan(bid, chunk, sp, n_micro,
                                        self.bucket.get_thw(bid)))
                 self.effective_samples += len(chunk)
         if self.shuffle:

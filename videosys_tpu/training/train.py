@@ -141,31 +141,33 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
                 T, H, W = plan.thw
                 t_lat = max(1, T // 17 * 5) if T > 1 else 1
                 lat_shape = (t_lat, H // 8, W // 8)
-                key = (plan.bucket_id, len(plan.indices))
+                micro_batches = plan.micro_batches()
+                key = (plan.bucket_id, len(micro_batches[0]))
                 if key not in step_fns:
                     step_fns[key] = jax.jit(make_train_step(
                         model, scheduler, tx, float(H), float(W)),
                         donate_argnums=(0,))
                 fn = step_fns[key]
 
-                # synthetic latents / text for the dummy dataset; real
-                # datasets supply pre-encoded latents (preprocess.py flow)
-                x = jnp.asarray(dataset.load_latents(
-                    plan.indices, lat_shape, rng_seed=global_step))
-                if text_embed_fn is not None:
-                    y, kv_mask = text_embed_fn(plan.indices)
-                else:
-                    y = jax.random.normal(
-                        jax.random.fold_in(rng, global_step),
-                        (len(plan.indices), 8, cfg.model.caption_channels))
-                    kv_mask = jnp.ones((len(plan.indices), 8), bool)
-                batch = {"x": x, "y": y, "kv_mask": kv_mask,
-                         "fps": jnp.full((x.shape[0],), 24.0)}
-                if mask_gen is not None and t_lat > 1:
-                    batch["mask"] = jnp.asarray(mask_gen(
-                        x.shape[0], t_lat, seed=cfg.seed + global_step))
-
-                for micro in range(plan.gas):
+                # gradient accumulation: gas micro-batches of DISTINCT
+                # samples (reference train.py:321-364 gas loop)
+                for micro_idx in micro_batches:
+                    # synthetic latents / text for the dummy dataset; real
+                    # datasets supply pre-encoded latents (preprocess.py flow)
+                    x = jnp.asarray(dataset.load_latents(
+                        micro_idx, lat_shape, rng_seed=global_step))
+                    if text_embed_fn is not None:
+                        y, kv_mask = text_embed_fn(micro_idx)
+                    else:
+                        y = jax.random.normal(
+                            jax.random.fold_in(rng, global_step),
+                            (len(micro_idx), 8, cfg.model.caption_channels))
+                        kv_mask = jnp.ones((len(micro_idx), 8), bool)
+                    batch = {"x": x, "y": y, "kv_mask": kv_mask,
+                             "fps": jnp.full((x.shape[0],), 24.0)}
+                    if mask_gen is not None and t_lat > 1:
+                        batch["mask"] = jnp.asarray(mask_gen(
+                            x.shape[0], t_lat, seed=cfg.seed + global_step))
                     rng, skey = jax.random.split(rng)
                     state, metrics = fn(state, skey, batch)
                 ema_params = update_ema(ema_params, _model_params(state.params),
