@@ -105,3 +105,53 @@ def test_num_steps_plans_specialize():
     ts = np_.linspace(1000, 33, 30)
     plans = build_plans(cfg, ts, depth=28)
     assert num_step_variants(plans) <= 8
+
+
+def test_mask_strategy_parsing_and_apply():
+    import numpy as np
+
+    from videosys_tpu.pipelines.open_sora.mask_strategy import (
+        apply_mask_strategy,
+        find_nearest_point,
+        parse_mask_strategy,
+    )
+
+    groups = parse_mask_strategy("0,0,0,0,2,0.3;1,1,-5,0,5,0")
+    assert groups[0] == [0, 0, 0, 0, 2, 0.3]
+    assert groups[1] == [1, 1, -5, 0, 5, 0.0]
+    assert parse_mask_strategy("") == []
+    assert find_nearest_point(7, 5, 20) == 5
+    assert find_nearest_point(8, 5, 20) == 10
+
+    z = np.zeros((1, 4, 10, 2, 2), np.float32)
+    ref = np.ones((4, 6, 2, 2), np.float32)
+    z2, mask = apply_mask_strategy(z, [[ref]], ["0,0,0,0,3,0.25"], loop_i=0,
+                                   align=None)
+    assert (z2[0, :, :3] == 1).all() and (z2[0, :, 3:] == 0).all()
+    np.testing.assert_allclose(mask[0, :3], 0.25)
+    np.testing.assert_allclose(mask[0, 3:], 1.0)
+    # strategy for another loop leaves z untouched
+    z3, mask3 = apply_mask_strategy(z, [[ref]], ["1,0,0,0,3,0"], loop_i=0,
+                                    align=None)
+    assert mask3 is None and (z3 == 0).all()
+
+
+def test_generate_conditioned_and_loop(engine):
+    import numpy as np
+
+    ref = np.random.default_rng(0).uniform(-1, 1, (3, 1, 192, 192)).astype(np.float32)
+    out = engine.generate("a moving square", resolution="144p",
+                          aspect_ratio="1:1", num_frames=17, seed=0,
+                          reference=ref, mask_strategy="0", align=None)
+    assert out.video.shape == (1, 17, 192, 192, 3)
+    # frozen condition frame (edit ratio 0): frame 0 must decode the
+    # reference latents, not free generation -> differs from unconditioned
+    out_free = engine.generate("a moving square", resolution="144p",
+                               aspect_ratio="1:1", num_frames=17, seed=0)
+    assert np.abs(out.video[0, 0].astype(int)
+                  - out_free.video[0, 0].astype(int)).mean() > 1
+
+    out_loop = engine.generate("looping", resolution="144p",
+                               aspect_ratio="1:1", num_frames=17, seed=0,
+                               loop=2, condition_frame_length=5, align=None)
+    assert out_loop.video.shape[1] == 17  # 17 + (17 - 17) for the tiny clip

@@ -22,10 +22,18 @@ class T5TextEncoder:
     """HF Flax T5 encoder + tokenizer. Requires local weights."""
 
     def __init__(self, path: str, max_length: int = 300, dtype=jnp.float32):
+        import os
+
         from transformers import AutoTokenizer, FlaxT5EncoderModel
 
-        self.tokenizer = AutoTokenizer.from_pretrained(path)
-        self.model = FlaxT5EncoderModel.from_pretrained(path, dtype=dtype)
+        # local-first: never spin on network retries (zero-egress images,
+        # air-gapped pods); opt into downloads with VIDEOSYS_ALLOW_DOWNLOAD=1
+        kwargs = {}
+        if not os.environ.get("VIDEOSYS_ALLOW_DOWNLOAD"):
+            kwargs["local_files_only"] = True
+        self.tokenizer = AutoTokenizer.from_pretrained(path, **kwargs)
+        self.model = FlaxT5EncoderModel.from_pretrained(path, dtype=dtype,
+                                                        **kwargs)
         self.max_length = max_length
         self.output_dim = self.model.config.d_model
 

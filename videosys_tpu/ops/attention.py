@@ -18,9 +18,17 @@ import jax.numpy as jnp
 
 from videosys_tpu.ops.flash_attention import flash_attention
 
-# Below this q-sequence length the jnp path wins (kernel launch + padding
-# overhead dominates); mirrors attentions.py:58.
-FLASH_MIN_SEQ = 256
+# Measured on TPU v5e (spatial-attention shapes of Open-Sora 2s/480p,
+# B=30 H=16 N=1590 D=72): XLA's fused attention reaches ~24 TF/s vs ~16 TF/s
+# for the Pallas kernel — grid/padding overheads dominate until the
+# materialized score matrix would pressure HBM. So the kernel engages on
+# MEMORY, not a fixed N: when fp32 scores would exceed SCORES_BYTES_LIMIT or
+# the kv length is long enough that XLA's one-shot materialization thrashes.
+# (The reference's N>=30 flash heuristic, attentions.py:58, tuned for CUDA
+# kernel-launch costs, does not transfer to XLA:TPU.)
+FLASH_MIN_SEQ = 256          # still used as a lower bound
+FLASH_MIN_KV = 4096          # engage flash at/above this kv length
+SCORES_BYTES_LIMIT = 4 << 30  # or when fp32 scores exceed this
 
 
 def _on_tpu() -> bool:
@@ -58,9 +66,15 @@ def scaled_dot_product_attention(
 ) -> jax.Array:
     """Dispatching attention. q: [B, H, Nq, D]; k, v: [B, H, Nk, D];
     kv_mask: optional [B, Nk] bool (True = attend)."""
-    use_flash = force_flash if force_flash is not None else (
-        _on_tpu() and q.shape[2] >= FLASH_MIN_SEQ
-    )
+    if force_flash is not None:
+        use_flash = force_flash
+    else:
+        B, H, Nq, _ = q.shape
+        Nk = k.shape[2]
+        scores_bytes = 4 * B * H * Nq * Nk
+        use_flash = _on_tpu() and Nq >= FLASH_MIN_SEQ and (
+            Nk >= FLASH_MIN_KV or scores_bytes > SCORES_BYTES_LIMIT
+        )
     if use_flash:
         return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
     return reference_attention(q, k, v, scale=scale, kv_mask=kv_mask)

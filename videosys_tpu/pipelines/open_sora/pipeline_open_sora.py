@@ -184,11 +184,10 @@ class OpenSoraPipeline(VideoSysPipeline):
         y_emb = self.params["transformer"]["params"]["y_embedder"]["y_embedding"]
         return jnp.broadcast_to(y_emb[None], (n,) + y_emb.shape)
 
-    def _get_step_fn(self, plan, height: float, width: float, guidance_scale: float):
-        key = (plan, height, width, guidance_scale)
-        if key in self._step_fns:
-            return self._step_fns[key]
-
+    def _step_core(self, plan, height: float, width: float,
+                   guidance_scale: float):
+        """One CFG-doubled model eval + guidance + Euler update (the shared
+        body of the per-step and scanned samplers)."""
         pab = self._config.pab_config if self._config.enable_pab else None
         model = STDiT3(self.model_config, plan=plan, pab_config=pab)
         sched = self.scheduler
@@ -211,6 +210,87 @@ class OpenSoraPipeline(VideoSysPipeline):
             z = sched.step(z, v, dt)
             return z, cache
 
+        return step
+
+    def _get_step_fn(self, plan, height: float, width: float, guidance_scale: float):
+        key = (plan, height, width, guidance_scale)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        fn = jax.jit(self._step_core(plan, height, width, guidance_scale),
+                     donate_argnums=(1, 7))
+        self._step_fns[key] = fn
+        return fn
+
+    def _get_scan_fn(self, plan, height: float, width: float,
+                     guidance_scale: float, length: int):
+        """Whole same-plan run of the ladder in ONE compiled program
+        (lax.scan over (t, dt)): removes per-step host dispatch and lets XLA
+        schedule across steps. Compiles once per (plan, run length)."""
+        key = ("scan", plan, height, width, guidance_scale, length)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        step = self._step_core(plan, height, width, guidance_scale)
+
+        def multi(params, z, ts, dts, y_all, kv_mask_all, fps, cache):
+            has_cache = cache is not None
+
+            def body(carry, tdt):
+                z, c = carry
+                t, dt = tdt
+                z, c = step(params, z, t, dt, y_all, kv_mask_all, fps,
+                            c if has_cache else None)
+                return (z, c), None
+
+            (z, cache), _ = jax.lax.scan(body, (z, cache), (ts, dts))
+            return z, cache
+
+        fn = jax.jit(multi, donate_argnums=(1, 7))
+        self._step_fns[key] = fn
+        return fn
+
+    def _get_masked_step_fn(self, plan, height: float, width: float,
+                            guidance_scale: float):
+        """Step with condition-frame masking (scheduling_rflow_open_sora.py
+        :226-257): frames whose edit threshold has passed stay clamped to
+        their reference content; frames crossing it are noised once."""
+        key = ("masked", plan, height, width, guidance_scale)
+        if key in self._step_fns:
+            return self._step_fns[key]
+
+        pab = self._config.pab_config if self._config.enable_pab else None
+        model = STDiT3(self.model_config, plan=plan, pab_config=pab)
+        sched = self.scheduler
+
+        def step(params, z, t_scalar, dt, y_all, kv_mask_all, fps, cache,
+                 mask, noise_added, nkey):
+            B = z.shape[0]
+            t_b = jnp.full((B,), t_scalar, jnp.float32)
+            x0 = z
+            x_noise = sched.add_noise(x0, jax.random.normal(nkey, x0.shape,
+                                                            x0.dtype), t_b)
+            mask_t = mask * float(sched.config.num_timesteps)
+            mask_t_upper = mask_t >= t_b[:, None]          # [B, T] bool
+            x_mask = jnp.concatenate([mask_t_upper, mask_t_upper], axis=0)
+            mask_add_noise = mask_t_upper & ~noise_added
+            z = jnp.where(mask_add_noise[:, None, :, None, None], x_noise, x0)
+
+            z_in = jnp.concatenate([z, z], axis=0).astype(self.dtype)
+            t_in = jnp.full((2 * B,), t_scalar, jnp.float32)
+            fps_in = jnp.concatenate([fps, fps], axis=0)
+            kwargs = dict(kv_mask=kv_mask_all, x_mask=x_mask, fps=fps_in,
+                          height=height, width=width)
+            if cache is not None:
+                out, cache = model.apply(params, z_in, t_in, y_all,
+                                         pab_cache=cache, **kwargs)
+            else:
+                out = model.apply(params, z_in, t_in, y_all, **kwargs)
+            pred = out[:, : self.model_config.in_channels]
+            v_cond, v_uncond = pred[:B], pred[B:]
+            v = sched.apply_cfg(v_cond, v_uncond, guidance_scale)
+            z = sched.step(z, v, dt)
+            z = jnp.where(mask_t_upper[:, None, :, None, None], z, x0)
+            return z, cache, mask_t_upper
+
         fn = jax.jit(step, donate_argnums=(1, 7))
         self._step_fns[key] = fn
         return fn
@@ -228,6 +308,15 @@ class OpenSoraPipeline(VideoSysPipeline):
         flow: Optional[float] = None,
         camera_motion: Optional[float] = None,
         fps: int = 24,
+        # condition-frame generation (:607-643): reference is an image/video
+        # path or pixel array [C, T, H, W]; mask_strategy strings per
+        # pipelines/open_sora/mask_strategy.py
+        reference=None,
+        mask_strategy: Optional[str] = None,
+        loop: int = 1,
+        condition_frame_length: int = 5,
+        condition_frame_edit: float = 0.0,
+        align: Optional[int] = 5,
         verbose: bool = True,
         return_dict: bool = True,
     ):
@@ -250,34 +339,90 @@ class OpenSoraPipeline(VideoSysPipeline):
         y_all = jnp.concatenate([y, y_null], axis=0).astype(self.dtype)
         kv_mask_all = jnp.concatenate([kv_mask, kv_mask], axis=0)
 
-        # --- latents ------------------------------------------------------ #
-        t_lat, h_lat, w_lat = self.vae.get_latent_size((num_frames, height, width))
-        rng, zkey = jax.random.split(rng)
-        z = jax.random.normal(zkey, (B, self.vae.out_channels, t_lat, h_lat, w_lat),
-                              jnp.float32)
+        # --- latents + denoise, once per loop (:607-643) ------------------- #
+        from videosys_tpu.pipelines.open_sora import mask_strategy as ms_mod
 
-        # --- denoise loop -------------------------------------------------- #
+        t_lat, h_lat, w_lat = self.vae.get_latent_size((num_frames, height, width))
         timesteps = self.scheduler.prepare_timesteps(height, width, num_frames)
         dts = self.scheduler.prepare_dts(timesteps)
         pab = cfg.pab_config if cfg.enable_pab else None
         plans = build_plans(pab, timesteps, self.model_config.depth, self.dtype)
-
-        cache = None
-        if cfg.enable_pab:
-            mc = self.model_config
-            T_tok = -(-t_lat // mc.patch_size[0])
-            S_tok = (-(-h_lat // mc.patch_size[1])) * (-(-w_lat // mc.patch_size[2]))
-            cache = STDiT3(mc, pab_config=pab).init_cache(2 * B, T_tok, S_tok)
-
+        mc = self.model_config
         fps_arr = jnp.full((B,), float(fps), jnp.float32)
+
+        refs = [None] * B
+        strategies = [mask_strategy] * B
+        if reference is not None:
+            rng, rkey = jax.random.split(rng)
+            ref_lat = ms_mod.load_reference(reference, self.vae,
+                                            self.params["vae"],
+                                            (height, width), rkey)
+            refs = [[ref_lat]] * B
+            if mask_strategy is None:
+                strategies = ["0"] * B  # condition on ref frame 0
+
         mesh_ctx = par.use_mesh(self.mesh) if self.mesh is not None else _nullcontext()
+        clips = []
         with mesh_ctx:
-            for i, (t_i, dt_i) in enumerate(zip(timesteps, dts)):
-                step_fn = self._get_step_fn(plans[i], float(height), float(width),
-                                            float(guidance_scale))
-                z, cache = step_fn(self.params["transformer"], z, t_i, dt_i,
-                                   y_all, kv_mask_all, fps_arr, cache)
-            samples = self.vae.decode(self.params["vae"], z, num_frames=num_frames)
+            for loop_i in range(loop):
+                if loop_i > 0:
+                    rng, akey = jax.random.split(rng)
+                    refs, strategies = ms_mod.append_generated(
+                        self.vae, self.params["vae"], clips[-1], refs,
+                        strategies, loop_i, condition_frame_length,
+                        condition_frame_edit, akey)
+                rng, zkey = jax.random.split(rng)
+                z = jax.random.normal(
+                    zkey, (B, self.vae.out_channels, t_lat, h_lat, w_lat),
+                    jnp.float32)
+                z_np, mask = ms_mod.apply_mask_strategy(
+                    np.asarray(z), refs, strategies, loop_i, align=align)
+                z = jnp.asarray(z_np)
+
+                cache = None
+                if cfg.enable_pab:
+                    T_tok = -(-t_lat // mc.patch_size[0])
+                    S_tok = (-(-h_lat // mc.patch_size[1])) * (
+                        -(-w_lat // mc.patch_size[2]))
+                    cache = STDiT3(mc, pab_config=pab).init_cache(
+                        2 * B, T_tok, S_tok)
+
+                if mask is None:
+                    # group consecutive same-plan steps into scanned runs
+                    i = 0
+                    while i < len(timesteps):
+                        j = i
+                        while j < len(plans) and plans[j] == plans[i]:
+                            j += 1
+                        run_ts = jnp.asarray(timesteps[i:j], jnp.float32)
+                        run_dts = jnp.asarray(dts[i:j], jnp.float32)
+                        fn = self._get_scan_fn(
+                            plans[i], float(height), float(width),
+                            float(guidance_scale), j - i)
+                        z, cache = fn(self.params["transformer"], z, run_ts,
+                                      run_dts, y_all, kv_mask_all, fps_arr,
+                                      cache)
+                        i = j
+                else:
+                    mask_arr = jnp.asarray(mask, jnp.float32)
+                    noise_added = jnp.asarray(mask, jnp.float32) >= 1.0
+                    for i, (t_i, dt_i) in enumerate(zip(timesteps, dts)):
+                        step_fn = self._get_masked_step_fn(
+                            plans[i], float(height), float(width),
+                            float(guidance_scale))
+                        rng, nkey = jax.random.split(rng)
+                        z, cache, noise_added = step_fn(
+                            self.params["transformer"], z, t_i, dt_i, y_all,
+                            kv_mask_all, fps_arr, cache, mask_arr,
+                            noise_added, nkey)
+                clips.append(self.vae.decode(self.params["vae"], z,
+                                             num_frames=num_frames))
+
+        # stitch loops, dropping duplicated condition frames (:641-643)
+        if loop > 1:
+            dpix = ms_mod.dframe_to_frame(condition_frame_length)
+            clips = [clips[0]] + [c[:, :, dpix:] for c in clips[1:]]
+        samples = jnp.concatenate(clips, axis=2) if len(clips) > 1 else clips[0]
 
         # --- postprocess (:648-652) ---------------------------------------- #
         video = np.asarray(samples, dtype=np.float32)
