@@ -39,7 +39,23 @@ def main(argv=None):
     ap.add_argument("--dataset-size", type=int, default=64)
     ap.add_argument("--tiny", action="store_true",
                     help="random-init tiny model (offline smoke)")
+    ap.add_argument("--config", default=None,
+                    help="YAML file; CLI flags override its values "
+                         "(reference merge_args, utils/utils.py:62-78)")
     args = ap.parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            cfg_yaml = yaml.safe_load(f) or {}
+        defaults = {a.dest: a.default for a in ap._actions}
+        for k, v in cfg_yaml.items():
+            k = k.replace("-", "_")
+            if not hasattr(args, k):
+                raise SystemExit(f"unknown config key: {k}")
+            # CLI takes precedence only when explicitly set (differs from default)
+            if getattr(args, k) == defaults.get(k):
+                setattr(args, k, v)
 
     model = (STDiT3Config(depth=1, hidden_size=32, num_heads=2,
                           caption_channels=16, model_max_length=8)
