@@ -63,20 +63,30 @@ def main():
         pab_cfg = copy.copy(config)
         pab_cfg.enable_pab = True
         pab_cfg.__post_init__()
-    pab_engine = VideoSysEngine(pab_cfg, params=engine.driver_worker.params)
-    pab_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
-    t0 = time.perf_counter()
-    pab_engine.generate("a breathtaking sunrise over snowy mountains", seed=1,
-                        **kwargs)
-    dt_pab = time.perf_counter() - t0
+    # spatial+temporal PAB for the accelerated leg: the full 4-slot cache
+    # (incl. both cross slots) is ~11.5 GiB at 2s/480p — fine next to weights
+    # on an 80 GB GPU, not on one 16 GB v5e (docs/pab.md)
+    pab_cfg.pab_config = OpenSoraPABConfig(mlp_broadcast=False,
+                                           cross_broadcast=False)
+    dt_pab = None
+    try:
+        pab_engine = VideoSysEngine(pab_cfg,
+                                    params=engine.driver_worker.params)
+        pab_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
+        t0 = time.perf_counter()
+        pab_engine.generate("a breathtaking sunrise over snowy mountains",
+                            seed=1, **kwargs)
+        dt_pab = time.perf_counter() - t0
+    except Exception as e:  # PAB cache may not fit small-HBM chips
+        print(f"# pab leg skipped: {type(e).__name__}", file=sys.stderr)
 
     metric = "opensora_2s_480p_dense_latency" if on_tpu else "opensora_cpu_smoke_latency"
     print(json.dumps({
         "metric": metric,
         "value": round(dt, 3),
         "unit": "s",
-        "pab_latency_s": round(dt_pab, 3),
-        "pab_speedup": round(dt / dt_pab, 3),
+        "pab_latency_s": round(dt_pab, 3) if dt_pab else None,
+        "pab_speedup": round(dt / dt_pab, 3) if dt_pab else None,
         "vs_baseline": round(BASELINE_DENSE_S / dt, 3) if on_tpu else 0.0,
     }))
 

@@ -26,9 +26,13 @@ from videosys_tpu.ops.flash_attention import flash_attention
 # the kv length is long enough that XLA's one-shot materialization thrashes.
 # (The reference's N>=30 flash heuristic, attentions.py:58, tuned for CUDA
 # kernel-launch costs, does not transfer to XLA:TPU.)
-FLASH_MIN_SEQ = 256          # still used as a lower bound
-FLASH_MIN_KV = 4096          # engage flash at/above this kv length
-SCORES_BYTES_LIMIT = 4 << 30  # or when fp32 scores exceed this
+# Update after the single-pass kernel (flash_attention.py): at DiT spatial
+# shapes both paths are exp-bound (~25 TF/s) — equal speed, but the kernel
+# never materializes the fp32 score matrix (4.9 GiB at 2s/480p), so it wins
+# on HBM headroom. Engage it whenever the scores would be big.
+FLASH_MIN_SEQ = 256           # lower bound on q length
+FLASH_MIN_KV = 1024           # engage flash at/above this kv length
+SCORES_BYTES_LIMIT = 1 << 30  # or when fp32 scores exceed this
 
 
 def _on_tpu() -> bool:

