@@ -90,3 +90,31 @@ def test_mesh_pool_power_of_two():
     assert m.devices.shape == (2, 1, 4)
     with pytest.raises(KeyError):
         pool.mesh_for_sp(3)
+
+
+def test_dsp_pipeline_equivalence_sp_vs_single():
+    """SURVEY §7 gate: DSP (num_gpus>1) generation must match single-device
+    output for identical weights and seed (the all-to-all flips are pure
+    reshardings). fp32 on the fake CPU mesh -> tight tolerance."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples/inference/open_sora"))
+    import sample as S
+
+    from videosys_tpu import VideoSysEngine
+
+    eng1 = VideoSysEngine(S._config(True), vae=S._tiny_vae())
+    params = eng1.driver_worker.params
+    out1 = eng1.generate("dsp equivalence", resolution="144p",
+                         aspect_ratio="1:1", num_frames=17, seed=11)
+
+    for kwargs in (dict(num_gpus=4), dict(num_gpus=4, enable_cp=True)):
+        cfg = S._config(True, **kwargs)
+        eng = VideoSysEngine(cfg, vae=S._tiny_vae(), params=params)
+        out = eng.generate("dsp equivalence", resolution="144p",
+                           aspect_ratio="1:1", num_frames=17, seed=11)
+        diff = np.abs(out.video.astype(int) - out1.video.astype(int))
+        assert diff.max() <= 1, (kwargs, diff.max())  # uint8 rounding only
