@@ -146,3 +146,124 @@ def test_safetensors_checkpoint_roundtrip(tmp_path):
             jax.tree_util.tree_leaves_with_path(direct)):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_array_equal(a, b)
+
+
+def _ln_shapes(prefix, dim):
+    return {f"{prefix}.weight": (dim,), f"{prefix}.bias": (dim,)}
+
+
+def test_convert_cogvideox_tree_matches_init():
+    from videosys_tpu.models.transformers.cogvideox import (
+        CogVideoXConfig,
+        CogVideoXTransformer3D,
+    )
+
+    depth, hidden, te, text = 2, 32, 512, 16
+    shapes = {
+        "patch_embed.proj.weight": (hidden, 4, 2, 2),
+        "patch_embed.proj.bias": (hidden,),
+        "patch_embed.text_proj.weight": (hidden, text),
+        "patch_embed.text_proj.bias": (hidden,),
+        "time_embedding.linear_1.weight": (te, hidden),
+        "time_embedding.linear_1.bias": (te,),
+        "time_embedding.linear_2.weight": (te, te),
+        "time_embedding.linear_2.bias": (te,),
+        "norm_out.linear.weight": (2 * hidden, te),
+        "norm_out.linear.bias": (2 * hidden,),
+        "proj_out.weight": (2 * 2 * 4, hidden),
+        "proj_out.bias": (2 * 2 * 4,),
+        **_ln_shapes("norm_final", hidden),
+        **_ln_shapes("norm_out.norm", hidden),
+    }
+    for i in range(depth):
+        b = f"transformer_blocks.{i}"
+        shapes.update({
+            f"{b}.norm1.linear.weight": (6 * hidden, te),
+            f"{b}.norm1.linear.bias": (6 * hidden,),
+            f"{b}.norm2.linear.weight": (6 * hidden, te),
+            f"{b}.norm2.linear.bias": (6 * hidden,),
+            f"{b}.ff.net.0.proj.weight": (4 * hidden, hidden),
+            f"{b}.ff.net.0.proj.bias": (4 * hidden,),
+            f"{b}.ff.net.2.weight": (hidden, 4 * hidden),
+            f"{b}.ff.net.2.bias": (hidden,),
+            **_ln_shapes(f"{b}.norm1.norm", hidden),
+            **_ln_shapes(f"{b}.norm2.norm", hidden),
+            **_ln_shapes(f"{b}.attn1.norm_q", 16),
+            **_ln_shapes(f"{b}.attn1.norm_k", 16),
+        })
+        for lp in ("to_q", "to_k", "to_v"):
+            shapes[f"{b}.attn1.{lp}.weight"] = (hidden, hidden)
+            shapes[f"{b}.attn1.{lp}.bias"] = (hidden,)
+        shapes[f"{b}.attn1.to_out.0.weight"] = (hidden, hidden)
+        shapes[f"{b}.attn1.to_out.0.bias"] = (hidden,)
+    sd = _rand_sd(shapes)
+
+    cfg = CogVideoXConfig(num_layers=depth, num_heads=2, head_dim=16,
+                          in_channels=4, out_channels=4, text_embed_dim=text,
+                          max_text_seq_length=8, sample_height=8,
+                          sample_width=8, sample_frames=9)
+    model = CogVideoXTransformer3D(cfg)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 16, 16)),
+                     jnp.zeros((1, 8, text)), jnp.zeros((1,)))
+    converted = C.convert_cogvideox(sd, depth=depth)
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: tuple(x.shape), converted)
+    out = model.apply(converted, jnp.ones((1, 3, 4, 16, 16)),
+                      jnp.ones((1, 8, text)), jnp.full((1,), 500.0))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_latte_tree_matches_init():
+    from videosys_tpu.models.transformers.latte import LatteConfig, LatteT2V
+
+    depth, hidden, cap = 2, 32, 16
+    shapes = {
+        "pos_embed.proj.weight": (hidden, 4, 2, 2),
+        "pos_embed.proj.bias": (hidden,),
+        "adaln_single.emb.timestep_embedder.linear_1.weight": (hidden, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": (hidden,),
+        "adaln_single.emb.timestep_embedder.linear_2.weight": (hidden, hidden),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": (hidden,),
+        "adaln_single.linear.weight": (6 * hidden, hidden),
+        "adaln_single.linear.bias": (6 * hidden,),
+        "caption_projection.linear_1.weight": (hidden, cap),
+        "caption_projection.linear_1.bias": (hidden,),
+        "caption_projection.linear_2.weight": (hidden, hidden),
+        "caption_projection.linear_2.bias": (hidden,),
+        "scale_shift_table": (2, hidden),
+        "proj_out.weight": (2 * 2 * 8, hidden),
+        "proj_out.bias": (2 * 2 * 8,),
+    }
+    for kind, n in (("transformer_blocks", depth),
+                    ("temporal_transformer_blocks", depth)):
+        for i in range(n):
+            b = f"{kind}.{i}"
+            shapes[f"{b}.scale_shift_table"] = (6, hidden)
+            for lp in ("to_q", "to_k", "to_v"):
+                shapes[f"{b}.attn1.{lp}.weight"] = (hidden, hidden)
+                shapes[f"{b}.attn1.{lp}.bias"] = (hidden,)
+            shapes[f"{b}.attn1.to_out.0.weight"] = (hidden, hidden)
+            shapes[f"{b}.attn1.to_out.0.bias"] = (hidden,)
+            shapes[f"{b}.ff.net.0.proj.weight"] = (8 * hidden, hidden)
+            shapes[f"{b}.ff.net.0.proj.bias"] = (8 * hidden,)
+            shapes[f"{b}.ff.net.2.weight"] = (hidden, 4 * hidden)
+            shapes[f"{b}.ff.net.2.bias"] = (hidden,)
+            if kind == "transformer_blocks":
+                for lp in ("to_q", "to_k", "to_v"):
+                    shapes[f"{b}.attn2.{lp}.weight"] = (hidden, hidden)
+                    shapes[f"{b}.attn2.{lp}.bias"] = (hidden,)
+                shapes[f"{b}.attn2.to_out.0.weight"] = (hidden, hidden)
+                shapes[f"{b}.attn2.to_out.0.bias"] = (hidden,)
+    sd = _rand_sd(shapes)
+
+    cfg = LatteConfig(num_layers=depth, num_heads=2, head_dim=16,
+                      caption_channels=cap, sample_size=16, video_length=2)
+    model = LatteT2V(cfg)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 4, 2, 16, 16)),
+                     jnp.zeros((1,)), jnp.zeros((1, 8, cap)))
+    converted = C.convert_latte(sd, depth=depth)
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: tuple(x.shape), converted)
+    out = model.apply(converted, jnp.ones((1, 4, 2, 16, 16)),
+                      jnp.full((1,), 500.0), jnp.ones((1, 8, cap)))
+    assert np.isfinite(np.asarray(out)).all()

@@ -116,14 +116,18 @@ class CogVideoXPipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
+        from videosys_tpu.utils.checkpoint import try_load_params
+
+        loaded = try_load_params(self._config, family="cogvideox",
+                                 default_depth=30) or {}
         mc = self.model_config
         model = CogVideoXTransformer3D(mc)
         dummy_x = jnp.zeros((1, 2, mc.in_channels, 2 * mc.patch_size,
                              2 * mc.patch_size), jnp.float32)
         dummy_enc = jnp.zeros((1, 4, mc.text_embed_dim), jnp.float32)
-        p_t = model.init(jax.random.key(seed), dummy_x, dummy_enc,
-                         jnp.zeros((1,)))
-        p_v = self.vae.init(jax.random.key(seed + 1))
+        p_t = loaded.get("transformer") or model.init(
+            jax.random.key(seed), dummy_x, dummy_enc, jnp.zeros((1,)))
+        p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
         return {"transformer": p_t, "vae": p_v}
 
     def _get_model_fn(self, plan):

@@ -109,15 +109,19 @@ class LattePipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
+        from videosys_tpu.utils.checkpoint import try_load_params
+
+        loaded = try_load_params(self._config, family="latte") or {}
         mc = self.model_config
         model = LatteT2V(mc)
         dummy_x = jnp.zeros((1, mc.in_channels, 2, 2 * mc.patch_size,
                              2 * mc.patch_size), jnp.float32)
-        p_t = model.init(jax.random.key(seed), dummy_x, jnp.zeros((1,)),
-                         jnp.zeros((1, 4, mc.caption_channels)))
-        p_v = self.vae.init(jax.random.key(seed + 1),
-                            jnp.zeros((1, 16, 16, 3), jnp.float32),
-                            jax.random.key(0))
+        p_t = loaded.get("transformer") or model.init(
+            jax.random.key(seed), dummy_x, jnp.zeros((1,)),
+            jnp.zeros((1, 4, mc.caption_channels)))
+        p_v = loaded.get("vae") or self.vae.init(
+            jax.random.key(seed + 1), jnp.zeros((1, 16, 16, 3), jnp.float32),
+            jax.random.key(0))
         return {"transformer": p_t, "vae": p_v}
 
     def _get_step_fn(self, plan, guidance_scale: float, a_t: float, a_prev: float):

@@ -34,18 +34,31 @@ def _load_safetensors_dir(path: str) -> Optional[dict]:
 def load_stdit3_torch_checkpoint(path: str, depth: int = 28) -> Optional[dict]:
     """Convert a local HF torch checkpoint dir (hpcai-tech/OpenSora-STDiT-v3
     layout) into STDiT3 Flax params."""
+    return load_torch_checkpoint(path, "stdit3", depth)
+
+
+def load_torch_checkpoint(path: str, family: str, depth: int) -> Optional[dict]:
+    """Convert a local HF torch checkpoint dir into Flax params for the given
+    model family ("stdit3" | "latte" | "cogvideox")."""
     sd = _load_safetensors_dir(path)
     if sd is None:
         return None
-    from videosys_tpu.utils.convert import convert_stdit3
+    from videosys_tpu.utils import convert as C
 
-    return convert_stdit3(sd, depth=depth)
+    fn = {"stdit3": C.convert_stdit3, "latte": C.convert_latte,
+          "cogvideox": C.convert_cogvideox}[family]
+    return fn(sd, depth=depth)
 
 
-def try_load_params(config) -> Optional[dict]:
+def try_load_params(config, family: str = "stdit3",
+                    default_depth: int = 28) -> Optional[dict]:
     """Load {transformer, vae} params from a local path: an orbax dir saved by
-    this framework, or a reference torch safetensors checkpoint (converted)."""
-    path = getattr(config, "transformer", None)
+    this framework, or a reference torch safetensors checkpoint (converted).
+    Pipelines pass their model family; the path comes from
+    `config.transformer` (Open-Sora/OSP) or `config.model_path`
+    (Latte/CogVideoX/Vchitect)."""
+    path = getattr(config, "transformer", None) or getattr(
+        config, "model_path", None)
     if not path or not os.path.isdir(str(path)):
         return None
     if os.path.isdir(os.path.join(str(path), "orbax")):
@@ -54,8 +67,9 @@ def try_load_params(config) -> Optional[dict]:
         ckpt = ocp.StandardCheckpointer()
         return ckpt.restore(os.path.join(path, "orbax"))
     tcfg = getattr(config, "transformer_config", None)
-    depth = getattr(tcfg, "depth", 28) if tcfg is not None else 28
-    p_t = load_stdit3_torch_checkpoint(str(path), depth=depth)
+    depth = (getattr(tcfg, "depth", default_depth) if tcfg is not None
+             else default_depth)
+    p_t = load_torch_checkpoint(str(path), family, depth)
     if p_t is not None:
         return {"transformer": p_t}
     return None

@@ -117,3 +117,121 @@ def convert_t5_shared_embedding(sd: Mapping) -> np.ndarray:
     """T5 token embedding (the only piece the text encoder wrapper needs when
     transformers loads flax weights natively)."""
     return _np(sd["shared.weight"])
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """torch affine LayerNorm -> flax {scale, bias}."""
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _concat_linears(sd: Mapping, prefixes) -> Dict[str, np.ndarray]:
+    """Fuse separate torch Linears into one flax Dense (rows concatenated on
+    the output dim — matches the reshape-split order in the TPU modules)."""
+    ks = [_np(sd[p + ".weight"]).T for p in prefixes]
+    out = {"kernel": np.concatenate(ks, axis=-1)}
+    if prefixes[0] + ".bias" in sd:
+        out["bias"] = np.concatenate([_np(sd[p + ".bias"]) for p in prefixes])
+    return out
+
+
+def _cog_block(sd, prefix):
+    return {
+        "norm1": {"linear": linear(sd, prefix + ".norm1.linear"),
+                  "norm": _ln(sd, prefix + ".norm1.norm")},
+        "norm2": {"linear": linear(sd, prefix + ".norm2.linear"),
+                  "norm": _ln(sd, prefix + ".norm2.norm")},
+        "attn1": {
+            "to_q": linear(sd, prefix + ".attn1.to_q"),
+            "to_k": linear(sd, prefix + ".attn1.to_k"),
+            "to_v": linear(sd, prefix + ".attn1.to_v"),
+            "to_out": linear(sd, prefix + ".attn1.to_out.0"),
+            "norm_q": _ln(sd, prefix + ".attn1.norm_q"),
+            "norm_k": _ln(sd, prefix + ".attn1.norm_k"),
+        },
+        "ff_in": linear(sd, prefix + ".ff.net.0.proj"),
+        "ff_out": linear(sd, prefix + ".ff.net.2"),
+    }
+
+
+def convert_cogvideox(sd: Mapping, depth: int = 30) -> dict:
+    """CogVideoX transformer state dict (THUDM/CogVideoX-2b/5b layout,
+    `videosys/models/transformers/cogvideox_transformer_3d.py:404-455`) ->
+    Flax params for CogVideoXTransformer3D."""
+    params = {
+        "patch_proj": conv(sd, "patch_embed.proj"),
+        "text_proj": linear(sd, "patch_embed.text_proj"),
+        "time_embedding": {
+            "mlp_0": linear(sd, "time_embedding.linear_1"),
+            "mlp_2": linear(sd, "time_embedding.linear_2"),
+        },
+        "norm_final": _ln(sd, "norm_final"),
+        "norm_out_linear": linear(sd, "norm_out.linear"),
+        "norm_out_norm": _ln(sd, "norm_out.norm"),
+        "proj_out": linear(sd, "proj_out"),
+        "blocks": {"block": stack([
+            _cog_block(sd, f"transformer_blocks.{i}") for i in range(depth)])},
+    }
+    return {"params": params}
+
+
+def _latte_spatial_block(sd, prefix):
+    return {
+        "scale_shift_table": _np(sd[prefix + ".scale_shift_table"]),
+        "attn1": {
+            "qkv": _concat_linears(sd, [prefix + ".attn1.to_q",
+                                        prefix + ".attn1.to_k",
+                                        prefix + ".attn1.to_v"]),
+            "proj": linear(sd, prefix + ".attn1.to_out.0"),
+        },
+        "attn2": {
+            "q_linear": linear(sd, prefix + ".attn2.to_q"),
+            "kv_linear": _concat_linears(sd, [prefix + ".attn2.to_k",
+                                              prefix + ".attn2.to_v"]),
+            "proj": linear(sd, prefix + ".attn2.to_out.0"),
+        },
+        "ff": {"proj_in": linear(sd, prefix + ".ff.net.0.proj"),
+               "proj_out": linear(sd, prefix + ".ff.net.2")},
+    }
+
+
+def _latte_temporal_block(sd, prefix):
+    return {
+        "scale_shift_table": _np(sd[prefix + ".scale_shift_table"]),
+        "attn1": {
+            "qkv": _concat_linears(sd, [prefix + ".attn1.to_q",
+                                        prefix + ".attn1.to_k",
+                                        prefix + ".attn1.to_v"]),
+            "proj": linear(sd, prefix + ".attn1.to_out.0"),
+        },
+        "ff": {"proj_in": linear(sd, prefix + ".ff.net.0.proj"),
+               "proj_out": linear(sd, prefix + ".ff.net.2")},
+    }
+
+
+def convert_latte(sd: Mapping, depth: int = 28) -> dict:
+    """LatteT2V state dict (maxin-cn/Latte-1 layout,
+    `videosys/models/transformers/latte_transformer_3d.py:895-1058`; also the
+    Open-Sora-Plan v1.1 LatteT2V variant) -> Flax params for
+    videosys_tpu LatteT2V. Separate to_q/k/v fuse into the qkv kernel;
+    to_k/to_v fuse into kv_linear (split order matches blocks.py)."""
+    params = {
+        "pos_embed_proj": conv(sd, "pos_embed.proj"),
+        "adaln_single_emb": {
+            "mlp_0": linear(sd, "adaln_single.emb.timestep_embedder.linear_1"),
+            "mlp_2": linear(sd, "adaln_single.emb.timestep_embedder.linear_2"),
+        },
+        "adaln_single_linear": linear(sd, "adaln_single.linear"),
+        "caption_projection": {
+            "fc1": linear(sd, "caption_projection.linear_1"),
+            "fc2": linear(sd, "caption_projection.linear_2"),
+        },
+        "final_scale_shift_table": _np(sd["scale_shift_table"]),
+        "proj_out": linear(sd, "proj_out"),
+        "blocks": {
+            "spatial": stack([_latte_spatial_block(
+                sd, f"transformer_blocks.{i}") for i in range(depth)]),
+            "temporal": stack([_latte_temporal_block(
+                sd, f"temporal_transformer_blocks.{i}") for i in range(depth)]),
+        },
+    }
+    return {"params": params}
