@@ -51,18 +51,16 @@ def main():
     engine.generate("a breathtaking sunrise over snowy mountains", seed=1,
                     **kwargs)
     dt = time.perf_counter() - t0
+    print(f"# dense latency: {dt:.2f}s", file=sys.stderr)
 
     # PAB-accelerated run (same config + Pyramid Attention Broadcast),
     # sharing the dense engine's weights
-    import dataclasses as _dc
+    import copy
 
-    pab_cfg = _dc.replace(config, enable_pab=True) if _dc.is_dataclass(config)         else None
-    if pab_cfg is None:
-        import copy
+    from videosys_tpu import OpenSoraPABConfig
 
-        pab_cfg = copy.copy(config)
-        pab_cfg.enable_pab = True
-        pab_cfg.__post_init__()
+    pab_cfg = copy.copy(config)
+    pab_cfg.enable_pab = True
     # spatial+temporal PAB for the accelerated leg: the full 4-slot cache
     # (incl. both cross slots) is ~11.5 GiB at 2s/480p — fine next to weights
     # on an 80 GB GPU, not on one 16 GB v5e (docs/pab.md)

@@ -267,3 +267,56 @@ def test_convert_latte_tree_matches_init():
     out = model.apply(converted, jnp.ones((1, 4, 2, 16, 16)),
                       jnp.full((1,), 500.0), jnp.ones((1, 8, cap)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_osp_v120_tree_matches_init():
+    from videosys_tpu.models.transformers.open_sora_plan_v120 import (
+        OpenSoraPlanV120Config,
+        OpenSoraPlanV120Transformer,
+    )
+
+    depth, hidden, cap = 2, 48, 16
+    shapes = {
+        "pos_embed.proj.weight": (hidden, 4, 2, 2),
+        "pos_embed.proj.bias": (hidden,),
+        "adaln_single.emb.timestep_embedder.linear_1.weight": (hidden, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": (hidden,),
+        "adaln_single.emb.timestep_embedder.linear_2.weight": (hidden, hidden),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": (hidden,),
+        "adaln_single.linear.weight": (6 * hidden, hidden),
+        "adaln_single.linear.bias": (6 * hidden,),
+        "caption_projection.linear_1.weight": (hidden, cap),
+        "caption_projection.linear_1.bias": (hidden,),
+        "caption_projection.linear_2.weight": (hidden, hidden),
+        "caption_projection.linear_2.bias": (hidden,),
+        "scale_shift_table": (2, hidden),
+        "proj_out.weight": (2 * 2 * 4, hidden),
+        "proj_out.bias": (2 * 2 * 4,),
+    }
+    for i in range(depth):
+        b = f"transformer_blocks.{i}"
+        shapes[f"{b}.scale_shift_table"] = (6, hidden)
+        for attn in ("attn1", "attn2"):
+            for lp in ("to_q", "to_k", "to_v"):
+                shapes[f"{b}.{attn}.{lp}.weight"] = (hidden, hidden)
+                shapes[f"{b}.{attn}.{lp}.bias"] = (hidden,)
+            shapes[f"{b}.{attn}.to_out.0.weight"] = (hidden, hidden)
+            shapes[f"{b}.{attn}.to_out.0.bias"] = (hidden,)
+        shapes[f"{b}.ff.net.0.proj.weight"] = (4 * hidden, hidden)
+        shapes[f"{b}.ff.net.0.proj.bias"] = (4 * hidden,)
+        shapes[f"{b}.ff.net.2.weight"] = (hidden, 4 * hidden)
+        shapes[f"{b}.ff.net.2.bias"] = (hidden,)
+    sd = _rand_sd(shapes)
+
+    cfg = OpenSoraPlanV120Config(num_layers=depth, num_heads=2, head_dim=24,
+                                 caption_channels=cap, sample_size=(8, 8),
+                                 sample_size_t=2)
+    model = OpenSoraPlanV120Transformer(cfg)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 4, 2, 16, 16)),
+                     jnp.zeros((1, 6, cap)), jnp.zeros((1,)))
+    converted = C.convert_osp_v120(sd, depth=depth)
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: tuple(x.shape), converted)
+    out = model.apply(converted, jnp.ones((1, 4, 2, 16, 16)),
+                      jnp.ones((1, 6, cap)), jnp.full((1,), 500.0))
+    assert np.isfinite(np.asarray(out)).all()

@@ -172,6 +172,15 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
 
     # ---------------------------------------------------------------------- #
     def _init_params(self, seed: int) -> dict:
+        from videosys_tpu.utils.checkpoint import try_load_params
+
+        family = "latte" if self.version == "v110" else "osp_v120"
+        loaded = try_load_params(self._config, family=family,
+                                 default_depth=28 if self.version == "v110"
+                                 else 32) or {}
+        if "transformer" in loaded:
+            p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
+            return {"transformer": loaded["transformer"], "vae": p_v}
         mc = self.model_config
         model = self.model_cls(mc)
         p = mc.patch_size

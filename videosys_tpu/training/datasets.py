@@ -205,3 +205,22 @@ class MaskGenerator:
     def __call__(self, batch: int, T: int, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)
         return np.stack([self._single(T, rng) for _ in range(batch)])
+
+
+def prepare_dataloader(dataset, bucket_config: dict, batch_multiplier: int = 1,
+                       seed: int = 0, planner=None, frame_interval: int = 1,
+                       drop_last: bool = True):
+    """API-parity shim for the reference's `prepare_dataloader`
+    (training/datasets/open_sora/dataloader.py:25-103): builds the bucket +
+    sampler pair; iteration yields `BatchPlan`s whose `micro_batches()` are
+    the collated gas groups (the torch DataLoader/worker pool has no role
+    under SPMD — batches are assembled on the host by the train loop)."""
+    from videosys_tpu.training.buckets import Bucket
+    from videosys_tpu.training.sampler import VariableVideoBatchSampler
+
+    bucket = Bucket(bucket_config)
+    sampler = VariableVideoBatchSampler(
+        bucket, dataset.shapes(), batch_multiplier=batch_multiplier,
+        seed=seed, planner=planner, frame_interval=frame_interval,
+        drop_last=drop_last)
+    return sampler, bucket

@@ -46,7 +46,8 @@ def load_torch_checkpoint(path: str, family: str, depth: int) -> Optional[dict]:
     from videosys_tpu.utils import convert as C
 
     fn = {"stdit3": C.convert_stdit3, "latte": C.convert_latte,
-          "cogvideox": C.convert_cogvideox}[family]
+          "cogvideox": C.convert_cogvideox,
+          "osp_v120": C.convert_osp_v120}[family]
     return fn(sd, depth=depth)
 
 

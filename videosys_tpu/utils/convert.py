@@ -235,3 +235,45 @@ def convert_latte(sd: Mapping, depth: int = 28) -> dict:
         },
     }
     return {"params": params}
+
+
+def _osp_v120_block(sd, prefix):
+    block = {
+        "scale_shift_table": _np(sd[prefix + ".scale_shift_table"]),
+        "ff_in": linear(sd, prefix + ".ff.net.0.proj"),
+        "ff_out": linear(sd, prefix + ".ff.net.2"),
+    }
+    for attn in ("attn1", "attn2"):
+        block[attn] = {
+            "to_q": linear(sd, f"{prefix}.{attn}.to_q"),
+            "to_k": linear(sd, f"{prefix}.{attn}.to_k"),
+            "to_v": linear(sd, f"{prefix}.{attn}.to_v"),
+            "to_out": linear(sd, f"{prefix}.{attn}.to_out.0"),
+        }
+    return block
+
+
+def convert_osp_v120(sd: Mapping, depth: int = 32) -> dict:
+    """Open-Sora-Plan v1.2 OpenSoraT2V state dict
+    (LanguageBind/Open-Sora-Plan-v1.2.0 subfolders,
+    `videosys/models/transformers/open_sora_plan_v120_transformer_3d.py:
+    1464-1714`) -> Flax params for OpenSoraPlanV120Transformer.
+    v1.1 checkpoints use the LatteT2V layout — use `convert_latte`."""
+    params = {
+        "patch_proj": conv(sd, "pos_embed.proj"),
+        "adaln_single": {
+            "emb": {
+                "mlp_0": linear(sd, "adaln_single.emb.timestep_embedder.linear_1"),
+                "mlp_2": linear(sd, "adaln_single.emb.timestep_embedder.linear_2"),
+            },
+            "linear": linear(sd, "adaln_single.linear"),
+        },
+        "caption_in": linear(sd, "caption_projection.linear_1"),
+        "caption_out": linear(sd, "caption_projection.linear_2"),
+        "scale_shift_table": _np(sd["scale_shift_table"]),
+        "proj_out": linear(sd, "proj_out"),
+        "blocks": {"block": stack([
+            _osp_v120_block(sd, f"transformer_blocks.{i}")
+            for i in range(depth)])},
+    }
+    return {"params": params}

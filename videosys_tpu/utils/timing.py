@@ -72,3 +72,20 @@ class GroupTimer(Timer):
                 jnp.ones(()), NamedSharding(self.mesh, P()))
             jax.block_until_ready(token + 0)
         return super().__exit__(*exc)
+
+
+def profile_trace(logdir: str):
+    """Context manager: capture a device trace viewable in TensorBoard /
+    Perfetto (the TPU-native replacement for the reference's per-module
+    TimeStamp instrumentation, core/dcp/recompute.py:80-138)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        jax.profiler.start_trace(logdir)
+        try:
+            yield logdir
+        finally:
+            jax.profiler.stop_trace()
+
+    return ctx()
