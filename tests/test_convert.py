@@ -320,3 +320,74 @@ def test_convert_osp_v120_tree_matches_init():
     out = model.apply(converted, jnp.ones((1, 4, 2, 16, 16)),
                       jnp.ones((1, 6, cap)), jnp.full((1,), 500.0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_vchitect_tree_matches_init():
+    from videosys_tpu.models.transformers.vchitect import (
+        VchitectModelConfig,
+        VchitectXLTransformer,
+    )
+
+    depth, hidden, joint, pooled = 3, 32, 32, 24
+    shapes = {
+        "pos_embed.proj.weight": (hidden, 16, 2, 2),
+        "pos_embed.proj.bias": (hidden,),
+        "time_text_embed.timestep_embedder.linear_1.weight": (hidden, 256),
+        "time_text_embed.timestep_embedder.linear_1.bias": (hidden,),
+        "time_text_embed.timestep_embedder.linear_2.weight": (hidden, hidden),
+        "time_text_embed.timestep_embedder.linear_2.bias": (hidden,),
+        "time_text_embed.text_embedder.linear_1.weight": (hidden, pooled),
+        "time_text_embed.text_embedder.linear_1.bias": (hidden,),
+        "time_text_embed.text_embedder.linear_2.weight": (hidden, hidden),
+        "time_text_embed.text_embedder.linear_2.bias": (hidden,),
+        "context_embedder.weight": (hidden, joint),
+        "context_embedder.bias": (hidden,),
+        "norm_out.linear.weight": (2 * hidden, hidden),
+        "norm_out.linear.bias": (2 * hidden,),
+        "proj_out.weight": (2 * 2 * 16, hidden),
+        "proj_out.bias": (2 * 2 * 16,),
+    }
+    for i in range(depth):
+        last = i == depth - 1
+        b = f"transformer_blocks.{i}"
+        shapes[f"{b}.norm1.linear.weight"] = (6 * hidden, hidden)
+        shapes[f"{b}.norm1.linear.bias"] = (6 * hidden,)
+        nc = (2 * hidden) if last else (6 * hidden)
+        shapes[f"{b}.norm1_context.linear.weight"] = (nc, hidden)
+        shapes[f"{b}.norm1_context.linear.bias"] = (nc,)
+        for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj", "to_q_temp", "to_k_temp", "to_v_temp",
+                  "to_q_cross", "to_out_temporal", "to_out_context",
+                  "to_add_out_temporal"):
+            shapes[f"{b}.attn.{n}.weight"] = (hidden, hidden)
+            shapes[f"{b}.attn.{n}.bias"] = (hidden,)
+        shapes[f"{b}.attn.to_out.0.weight"] = (hidden, hidden)
+        shapes[f"{b}.attn.to_out.0.bias"] = (hidden,)
+        if not last:
+            shapes[f"{b}.attn.to_add_out.weight"] = (hidden, hidden)
+            shapes[f"{b}.attn.to_add_out.bias"] = (hidden,)
+            shapes[f"{b}.ff_context.net.0.proj.weight"] = (4 * hidden, hidden)
+            shapes[f"{b}.ff_context.net.0.proj.bias"] = (4 * hidden,)
+            shapes[f"{b}.ff_context.net.2.weight"] = (hidden, 4 * hidden)
+            shapes[f"{b}.ff_context.net.2.bias"] = (hidden,)
+        shapes[f"{b}.ff.net.0.proj.weight"] = (4 * hidden, hidden)
+        shapes[f"{b}.ff.net.0.proj.bias"] = (4 * hidden,)
+        shapes[f"{b}.ff.net.2.weight"] = (hidden, 4 * hidden)
+        shapes[f"{b}.ff.net.2.bias"] = (hidden,)
+    sd = _rand_sd(shapes)
+
+    cfg = VchitectModelConfig(num_layers=depth, num_heads=2, head_dim=16,
+                              joint_attention_dim=joint,
+                              pooled_projection_dim=pooled, sample_size=8,
+                              pos_embed_max_size=12)
+    model = VchitectXLTransformer(cfg)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 2, 16, 16, 16)),
+                     jnp.zeros((1, 6, joint)), jnp.zeros((1, pooled)),
+                     jnp.zeros((1,)))
+    converted = C.convert_vchitect(sd, depth=depth)
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: tuple(x.shape), converted)
+    out = model.apply(converted, jnp.ones((1, 2, 16, 16, 16)),
+                      jnp.ones((1, 6, joint)), jnp.ones((1, pooled)),
+                      jnp.full((1,), 500.0))
+    assert np.isfinite(np.asarray(out)).all()

@@ -132,17 +132,21 @@ class VchitectXLPipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
+        from videosys_tpu.utils.checkpoint import try_load_params
+
+        loaded = try_load_params(self._config, family="vchitect",
+                                 default_depth=18) or {}
         mc = self.model_config
         model = VchitectXLTransformer(mc)
         p = mc.patch_size
         dummy = jnp.zeros((1, 2, mc.in_channels, 2 * p, 2 * p), jnp.float32)
-        p_t = model.init(jax.random.key(seed), dummy,
-                         jnp.zeros((1, 4, mc.joint_attention_dim)),
-                         jnp.zeros((1, mc.pooled_projection_dim)),
-                         jnp.zeros((1,)))
-        p_v = self.vae.init(jax.random.key(seed + 1),
-                            jnp.zeros((1, 16, 16, 3), jnp.float32),
-                            jax.random.key(0))
+        p_t = loaded.get("transformer") or model.init(
+            jax.random.key(seed), dummy,
+            jnp.zeros((1, 4, mc.joint_attention_dim)),
+            jnp.zeros((1, mc.pooled_projection_dim)), jnp.zeros((1,)))
+        p_v = loaded.get("vae") or self.vae.init(
+            jax.random.key(seed + 1), jnp.zeros((1, 16, 16, 3), jnp.float32),
+            jax.random.key(0))
         return {"transformer": p_t, "vae": p_v}
 
     def _get_v_fn(self, plan):

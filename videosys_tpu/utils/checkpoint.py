@@ -47,7 +47,8 @@ def load_torch_checkpoint(path: str, family: str, depth: int) -> Optional[dict]:
 
     fn = {"stdit3": C.convert_stdit3, "latte": C.convert_latte,
           "cogvideox": C.convert_cogvideox,
-          "osp_v120": C.convert_osp_v120}[family]
+          "osp_v120": C.convert_osp_v120,
+          "vchitect": C.convert_vchitect}[family]
     return fn(sd, depth=depth)
 
 

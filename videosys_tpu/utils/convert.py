@@ -277,3 +277,57 @@ def convert_osp_v120(sd: Mapping, depth: int = 32) -> dict:
             for i in range(depth)])},
     }
     return {"params": params}
+
+
+def _vchitect_attn(sd, prefix, context_pre_only: bool):
+    names = ["to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj",
+             "to_q_temp", "to_k_temp", "to_v_temp", "to_q_cross",
+             "to_out_temporal", "to_out_context", "to_add_out_temporal"]
+    out = {n: linear(sd, f"{prefix}.{n}") for n in names}
+    out["to_out"] = linear(sd, prefix + ".to_out.0")  # ModuleList [Linear, Dropout]
+    if not context_pre_only:
+        out["to_add_out"] = linear(sd, prefix + ".to_add_out")
+    return out
+
+
+def _vchitect_block(sd, prefix, context_pre_only: bool):
+    block = {
+        "norm1": {"linear": linear(sd, prefix + ".norm1.linear")},
+        "attn": _vchitect_attn(sd, prefix + ".attn", context_pre_only),
+        "ff_in": linear(sd, prefix + ".ff.net.0.proj"),
+        "ff_out": linear(sd, prefix + ".ff.net.2"),
+    }
+    if context_pre_only:
+        block["norm1_context_linear"] = linear(sd, prefix + ".norm1_context.linear")
+    else:
+        block["norm1_context"] = {
+            "linear": linear(sd, prefix + ".norm1_context.linear")}
+        block["ff_context_in"] = linear(sd, prefix + ".ff_context.net.0.proj")
+        block["ff_context_out"] = linear(sd, prefix + ".ff_context.net.2")
+    return block
+
+
+def convert_vchitect(sd: Mapping, depth: int = 18) -> dict:
+    """Vchitect-XL state dict (Vchitect/Vchitect-2.0-2B layout,
+    `videosys/models/transformers/vchitect_transformer_3d.py:261-324` +
+    `videosys/models/modules/attentions.py:423-638`) -> Flax params for
+    VchitectXLTransformer. The last layer is context_pre_only (:302) and maps
+    to the dedicated final_block."""
+    params = {
+        "patch_proj": conv(sd, "pos_embed.proj"),
+        "time_embed": {
+            "mlp_0": linear(sd, "time_text_embed.timestep_embedder.linear_1"),
+            "mlp_2": linear(sd, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "pooled_in": linear(sd, "time_text_embed.text_embedder.linear_1"),
+        "pooled_out": linear(sd, "time_text_embed.text_embedder.linear_2"),
+        "context_embedder": linear(sd, "context_embedder"),
+        "norm_out_linear": linear(sd, "norm_out.linear"),
+        "proj_out": linear(sd, "proj_out"),
+        "blocks": {"block": stack([
+            _vchitect_block(sd, f"transformer_blocks.{i}", False)
+            for i in range(depth - 1)])},
+        "final_block": _vchitect_block(
+            sd, f"transformer_blocks.{depth - 1}", True),
+    }
+    return {"params": params}
