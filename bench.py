@@ -65,7 +65,8 @@ def main():
     # (incl. both cross slots) is ~11.5 GiB at 2s/480p — fine next to weights
     # on an 80 GB GPU, not on one 16 GB v5e (docs/pab.md)
     pab_cfg.pab_config = OpenSoraPABConfig(mlp_broadcast=False,
-                                           cross_broadcast=False)
+                                           cross_broadcast=False,
+                                           cache_dtype="float8_e4m3fn")
     dt_pab = None
     try:
         pab_engine = VideoSysEngine(pab_cfg,

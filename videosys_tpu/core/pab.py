@@ -45,6 +45,10 @@ class PABConfig:
     # {timestep:int -> {"block": [idx...], "skip_count": int}}
     mlp_spatial_broadcast_config: Optional[dict] = None
     mlp_temporal_broadcast_config: Optional[dict] = None
+    # cache storage dtype (None = model dtype). "float8_e4m3" halves the
+    # cache HBM footprint — the 28-layer 2s/480p cache is multi-GiB and PAB
+    # is already an approximation; see docs/pab.md.
+    cache_dtype: Optional[str] = None
 
     @property
     def enabled(self) -> bool:

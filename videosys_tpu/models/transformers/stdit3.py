@@ -123,7 +123,7 @@ class STDiT3Block(nn.Module):
 
         # ---- attention (spatial or temporal) --------------------------- #
         if self.bcast_attn:
-            x_m_s = cache["attn"]
+            x_m_s = cache["attn"].astype(x.dtype)
         else:
             normed1 = layer_norm(x)
             x_m = t2i_modulate(normed1, shift_msa, scale_msa)
@@ -165,13 +165,13 @@ class STDiT3Block(nn.Module):
                 x_m_s = t_mask_select(x_mask, x_m_s, gate_msa0 * x_m)
 
         if "attn" in cache:
-            new_cache["attn"] = x_m_s
+            new_cache["attn"] = x_m_s.astype(cache["attn"].dtype)
 
         x = x + x_m_s
 
         # ---- cross attention ------------------------------------------- #
         if self.bcast_cross:
-            x_cross = cache["cross"]
+            x_cross = cache["cross"].astype(x.dtype)
         else:
             xq = x.reshape(B * T, S, C)
             xq = par.shard_cross_rows(xq)
@@ -181,7 +181,7 @@ class STDiT3Block(nn.Module):
             )(xq, y, kv_mask)
             x_cross = x_cross.reshape(B, T, S, C)
         if "cross" in cache:
-            new_cache["cross"] = x_cross
+            new_cache["cross"] = x_cross.astype(cache["cross"].dtype)
 
         x = x + x_cross
 
@@ -202,8 +202,10 @@ class STDiT3Block(nn.Module):
 
         if self.mlp_cached:
             # compute-and-select (exact outputs; see core/pab.py rationale)
-            x_m_s = jnp.where(mlp_use, cache["mlp"], x_m_s)
-            new_cache["mlp"] = jnp.where(mlp_save, x_m_s, cache["mlp"])
+            x_m_s = jnp.where(mlp_use, cache["mlp"].astype(x.dtype), x_m_s)
+            new_cache["mlp"] = jnp.where(
+                mlp_save, x_m_s, cache["mlp"].astype(x.dtype)
+            ).astype(cache["mlp"].dtype)
 
         x = x + x_m_s
         return x, new_cache
@@ -272,12 +274,15 @@ class STDiT3(nn.Module):
     def init_cache(self, B: int, T: int, S: int) -> Dict[str, PABCache]:
         """Zero-initialized PAB cache pytree: [depth, B, T, S, C] per slot."""
         cfg = self.config
+        cdt = cfg.dtype
+        if self.pab_config is not None and self.pab_config.cache_dtype:
+            cdt = getattr(jnp, self.pab_config.cache_dtype)
         shape = (cfg.depth, B, T, S, cfg.hidden_size)
         caches: Dict[str, PABCache] = {}
         for branch, temporal in (("spatial", False), ("temporal", True)):
             keys = self.cache_keys(temporal)
             if keys:
-                caches[branch] = {k: jnp.zeros(shape, cfg.dtype) for k in keys}
+                caches[branch] = {k: jnp.zeros(shape, cdt) for k in keys}
         return caches
 
     def _mlp_flag_arrays(self) -> Dict[str, jax.Array]:

@@ -75,3 +75,48 @@ def append_score_to_prompts(prompts, aes=None, flow=None, camera_motion=None):
             new_prompt = f"{new_prompt} camera motion: {camera_motion}."
         new_prompts.append(new_prompt)
     return new_prompts
+
+
+def refine_prompt(prompt: str, model: str = "gpt-4o",
+                  example_path: str = None) -> str:
+    """Optional OpenAI prompt refinement (pipeline_open_sora.py:897-959).
+    Needs the `openai` package and OPENAI_API_KEY; raises a clear error when
+    unavailable (offline images) instead of failing mid-generate."""
+    try:
+        from openai import OpenAI
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "Prompt refinement needs the `openai` package and an API key; "
+            "pass the raw prompt or install openai.") from e
+    sys_prompt = (
+        "You need to refine user's input prompt. The user's input prompt is "
+        "used for video generation task. You need to refine the user's "
+        "prompt to make it more suitable for the task. The refined prompt "
+        "should pay attention to all objects in the video. The description "
+        "should be useful for AI to re-generate the video. The description "
+        "should be no more than six sentences. The refined prompt should be "
+        "in English.")
+    client = OpenAI()
+    out = client.chat.completions.create(
+        model=model,
+        messages=[{"role": "system", "content": sys_prompt},
+                  {"role": "user", "content": prompt}],
+        temperature=0.01, max_tokens=250)
+    return out.choices[0].message.content
+
+
+def add_watermark(video_path: str, watermark_path: str,
+                  output_path: str = None) -> str:
+    """Watermark overlay (pipeline_open_sora.py:962-972 shells out to
+    ffmpeg). Uses the ffmpeg binary when present; raises clearly otherwise."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:  # pragma: no cover
+        raise RuntimeError("watermarking needs the ffmpeg binary on PATH")
+    output_path = output_path or video_path.replace(".mp4", "_watermarked.mp4")
+    cmd = ["ffmpeg", "-y", "-i", video_path, "-i", watermark_path,
+           "-filter_complex", "[1][0]scale2ref=oh*mdar:ih*0.1[logo][video];"
+           "[video][logo]overlay", output_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return output_path
