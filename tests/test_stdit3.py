@@ -127,3 +127,31 @@ def test_cp2_sp4_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_single), np.asarray(out), atol=2e-5, rtol=1e-5
     )
+
+
+def test_pab_fp8_cache_close_to_dense():
+    """float8 PAB cache (PABConfig.cache_dtype) must keep broadcast outputs
+    close to the dense pass (quantization error only)."""
+    import numpy as np
+
+    from videosys_tpu.core.pab import PABConfig, PABStepPlan
+
+    cfg = STDiT3Config(depth=2, hidden_size=32, num_heads=2,
+                       caption_channels=16, model_max_length=8)
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(450, 930),
+                    spatial_range=2, temporal_broadcast=True,
+                    temporal_threshold=(450, 930), temporal_range=4,
+                    cache_dtype="float8_e4m3fn")
+    m = STDiT3(cfg, pab_config=pab)
+    cache = m.init_cache(2, 2, 16)
+    assert str(jax.tree.leaves(cache)[0].dtype) == "float8_e4m3fn"
+    x = jnp.ones((2, 4, 2, 8, 8))
+    t = jnp.full((2,), 500.0)
+    y = jnp.ones((2, 4, 16))
+    kw = dict(fps=jnp.full((2,), 24.0), height=64.0, width=64.0)
+    p = m.init(jax.random.key(0), x, t, y, pab_cache=cache, **kw)
+    out, c2 = m.apply(p, x, t, y, pab_cache=cache, **kw)
+    m2 = STDiT3(cfg, pab_config=pab,
+                plan=PABStepPlan(spatial=True, temporal=True))
+    out2, _ = m2.apply(p, x, t, y, pab_cache=c2, **kw)
+    assert float(np.abs(np.asarray(out2 - out)).max()) < 0.2
