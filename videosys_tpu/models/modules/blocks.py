@@ -8,19 +8,27 @@ The flash-attn / apex wheels are replaced by the Pallas kernel in
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from videosys_tpu.models.modules.embeddings import apply_rope_channel
 from videosys_tpu.models.modules.normalization import RMSNorm
 from videosys_tpu.ops.attention import scaled_dot_product_attention
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention with optional RMS qk-norm and RoPE hook
-    (OpenSoraAttention). Operates on [B, N, C]."""
+    """Multi-head self-attention with optional RMS qk-norm and RoPE
+    (OpenSoraAttention). Operates on [B, N, C].
+
+    TPU note: qk-norm and (interleaved-pair) RoPE run in the CHANNEL layout
+    [B, N, C] before the head split — C is a lane multiple while head_dim is
+    not, and the channel-layout ops measured ~3.5x faster at DiT shapes.
+    `rope_channel` takes precomputed [N, C] (cos, sin) tables
+    (embeddings.rope_channel_tables); the `rope` callable fallback operates
+    on the split [B, H, N, D] layout (used by the 2D/3D-RoPE families)."""
 
     dim: int
     num_heads: int
@@ -28,6 +36,7 @@ class SelfAttention(nn.Module):
     qk_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     rope: Optional[Callable[[jax.Array], jax.Array]] = None
+    rope_channel: Any = None  # (cos [N, C], sin [N, C]) numpy tables
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -36,24 +45,28 @@ class SelfAttention(nn.Module):
         scale = head_dim**-0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, N, H, D]
-        q = jnp.swapaxes(q, 1, 2)  # [B, H, N, D]
-        k = jnp.swapaxes(k, 1, 2)
-        v = jnp.swapaxes(v, 1, 2)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, C]
 
         if N == 1:
             # Single-token attention is the identity over v (attentions.py:65-66).
-            x = v
-        else:
-            if self.qk_norm:
-                q = RMSNorm(head_dim, name="q_norm")(q)
-                k = RMSNorm(head_dim, name="k_norm")(k)
-            if self.rope is not None:
-                q = self.rope(q)
-                k = self.rope(k)
-            x = scaled_dot_product_attention(q, k, v, scale=scale)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(v)
 
+        if self.qk_norm:
+            q = RMSNorm(head_dim, num_heads=self.num_heads, name="q_norm")(q)
+            k = RMSNorm(head_dim, num_heads=self.num_heads, name="k_norm")(k)
+        if self.rope_channel is not None:
+            cos, sin = self.rope_channel
+            q = apply_rope_channel(q, cos, sin)
+            k = apply_rope_channel(k, cos, sin)
+
+        def heads(t):
+            return jnp.swapaxes(t.reshape(B, N, self.num_heads, head_dim), 1, 2)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        if self.rope_channel is None and self.rope is not None:
+            q = self.rope(q)
+            k = self.rope(k)
+        x = scaled_dot_product_attention(q, k, v, scale=scale)
         x = jnp.swapaxes(x, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 

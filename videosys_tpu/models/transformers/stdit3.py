@@ -39,8 +39,8 @@ from videosys_tpu.models.modules.embeddings import (
     PatchEmbed3D,
     SizeEmbedder,
     TimestepEmbedder,
-    apply_rope,
     pos_embed_2d,
+    rope_channel_tables,
     rope_freqs,
 )
 from videosys_tpu.models.modules.normalization import layer_norm, t2i_modulate
@@ -136,14 +136,14 @@ class STDiT3Block(nn.Module):
                 # temporal attention: local under the resident S sharding
                 xa = rearrange(x_m, "b t s c -> (b s) t c")
                 xa = par.shard_merged_rows(xa)
-                rope = partial(
-                    apply_rope,
-                    positions=np.arange(T, dtype=np.float32),
-                    freqs=rope_freqs(cfg.hidden_size // cfg.num_heads),
-                )
+                rope_ch = rope_channel_tables(
+                    np.arange(T, dtype=np.float32),
+                    rope_freqs(cfg.hidden_size // cfg.num_heads),
+                    cfg.num_heads)
                 xa = SelfAttention(
                     dim=cfg.hidden_size, num_heads=cfg.num_heads,
-                    qk_norm=cfg.qk_norm, dtype=cfg.dtype, rope=rope, name="attn",
+                    qk_norm=cfg.qk_norm, dtype=cfg.dtype,
+                    rope_channel=rope_ch, name="attn",
                 )(xa)
                 x_m = rearrange(xa, "(b s) t c -> b t s c", b=B)
             else:
