@@ -387,10 +387,14 @@ class OpenSoraPipeline(VideoSysPipeline):
                     cache = STDiT3(mc, pab_config=pab).init_cache(
                         2 * B, T_tok, S_tok)
 
-                if mask is None and cache is None:
+                # scan carries double-buffer in HBM: allow the PAB cache as
+                # scan carry only when 2x its size is clearly affordable
+                cache_bytes = sum(
+                    int(np.prod(a.shape)) * a.dtype.itemsize
+                    for a in jax.tree.leaves(cache)) if cache is not None else 0
+                scan_ok = cache is None or cache_bytes < (3 << 30)
+                if mask is None and scan_ok:
                     # group consecutive same-plan steps into scanned runs
-                    # (PAB runs stay per-step: a multi-GiB cache as scan
-                    # carry would double-buffer in HBM)
                     i = 0
                     while i < len(timesteps):
                         j = i
