@@ -7,7 +7,7 @@ JAX/XLA/Pallas on TPU. Public API mirrors `videosys/__init__.py:1-22`:
 
 from videosys_tpu.core.engine import VideoSysEngine
 from videosys_tpu.core.pab import PABConfig
-from videosys_tpu.core.parallel import ParallelConfig, build_mesh
+from videosys_tpu.core.parallel import ParallelConfig, build_mesh, initialize
 from videosys_tpu.pipelines.cogvideox.pipeline_cogvideox import (
     CogVideoXConfig,
     CogVideoXPABConfig,
@@ -44,6 +44,7 @@ __all__ = [
     "LattePABConfig",
     "LattePipeline",
     "PABConfig",
+    "initialize",
     "ParallelConfig",
     "build_mesh",
     "OpenSoraConfig",

@@ -238,3 +238,21 @@ class MeshPool:
         if sp_size not in self._meshes:
             raise KeyError(f"sp_size {sp_size} not in pool {self.sp_sizes}")
         return self._meshes[sp_size]
+
+
+def initialize(rank: int = 0, world_size: int = 1,
+               coordinator_address: str | None = None, seed: int | None = None):
+    """Public-API parity with `videosys.initialize`
+    (core/distributed/parallel_mgr.py:103-117). On TPU there is no NCCL
+    process group to create: single-host SPMD needs nothing, and multi-host
+    pods initialize the JAX distributed runtime instead. Optionally seeds
+    numpy for host-side randomness (the reference's set_seed analog)."""
+    if world_size > 1 and coordinator_address:
+        import jax
+
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=world_size, process_id=rank)
+    if seed is not None:
+        import numpy as _np
+
+        _np.random.seed(seed)

@@ -57,6 +57,11 @@ class PNDMScheduler:
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         c = self.config
         T = c.num_train_timesteps
+        if num_inference_steps < self.pndm_order:
+            raise ValueError(
+                f"PNDM needs at least {self.pndm_order} inference steps "
+                f"(PRK warmup uses the last {self.pndm_order} ladder points); "
+                f"got {num_inference_steps}")
         self.num_inference_steps = num_inference_steps
         step_ratio = T // num_inference_steps
         base = (np.arange(0, num_inference_steps) * step_ratio).round() + c.steps_offset
