@@ -86,6 +86,7 @@ def main():
         "unit": "s",
         "pab_latency_s": round(dt_pab, 3) if dt_pab else None,
         "pab_speedup": round(dt / dt_pab, 3) if dt_pab else None,
+        "videos_per_min_chip": round(60.0 / (dt_pab or dt), 3) if on_tpu else None,
         "vs_baseline": round(BASELINE_DENSE_S / dt, 3) if on_tpu else 0.0,
     }))
 
