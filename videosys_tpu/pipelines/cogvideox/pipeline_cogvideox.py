@@ -49,6 +49,9 @@ class CogVideoXConfig:
 
     model_path: str = "THUDM/CogVideoX-2b"
     num_gpus: int = 1
+    # API parity with the reference's low-memory mode; host offload
+    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    cpu_offload: bool = False
     vae_tiling: bool = True
     enable_pab: bool = False
     pab_config: Optional[PABConfig] = None

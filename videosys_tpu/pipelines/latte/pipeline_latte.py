@@ -52,6 +52,9 @@ class LatteConfig:
 
     model_path: str = "maxin-cn/Latte-1"
     num_gpus: int = 1
+    # API parity with the reference's low-memory mode; host offload
+    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    cpu_offload: bool = False
     enable_cp: bool = False
     # scheduler
     beta_start: float = 0.0001

@@ -73,6 +73,9 @@ class OpenSoraConfig:
     text_encoder: Optional[str] = "DeepFloyd/t5-v1_1-xxl"
     # ======== distributed ========
     num_gpus: int = 1
+    # API parity with the reference's low-memory mode; host offload
+    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    cpu_offload: bool = False
     enable_cp: bool = False
     # ======== scheduler ========
     num_sampling_steps: int = 30
