@@ -47,11 +47,16 @@ def main():
     # warmup (compile)
     engine.generate("benchmark warmup", seed=0, **kwargs)
 
-    t0 = time.perf_counter()
-    engine.generate("a breathtaking sunrise over snowy mountains", seed=1,
-                    **kwargs)
-    dt = time.perf_counter() - t0
-    print(f"# dense latency: {dt:.2f}s", file=sys.stderr)
+    # the pool chip is shared: take the best of two measured runs so
+    # co-tenant interference doesn't pollute the recorded number
+    dts = []
+    for i in (1, 2):
+        t0 = time.perf_counter()
+        engine.generate("a breathtaking sunrise over snowy mountains", seed=i,
+                        **kwargs)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    print(f"# dense latency runs: {[round(d, 2) for d in dts]}", file=sys.stderr)
 
     # PAB-accelerated run (same config + Pyramid Attention Broadcast),
     # sharing the dense engine's weights
@@ -72,10 +77,13 @@ def main():
         pab_engine = VideoSysEngine(pab_cfg,
                                     params=engine.driver_worker.params)
         pab_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
-        t0 = time.perf_counter()
-        pab_engine.generate("a breathtaking sunrise over snowy mountains",
-                            seed=1, **kwargs)
-        dt_pab = time.perf_counter() - t0
+        pab_dts = []
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            pab_engine.generate("a breathtaking sunrise over snowy mountains",
+                                seed=i, **kwargs)
+            pab_dts.append(time.perf_counter() - t0)
+        dt_pab = min(pab_dts)
     except Exception as e:  # PAB cache may not fit small-HBM chips
         print(f"# pab leg skipped: {type(e).__name__}", file=sys.stderr)
 
