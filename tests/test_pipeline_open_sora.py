@@ -155,3 +155,51 @@ def test_generate_conditioned_and_loop(engine):
                                aspect_ratio="1:1", num_frames=17, seed=0,
                                loop=2, condition_frame_length=5, align=None)
     assert out_loop.video.shape[1] == 17  # 17 + (17 - 17) for the tiny clip
+
+
+def test_scanned_sampling_matches_per_step(engine):
+    """The lax.scan-fused denoise runs must be bit-identical to the per-step
+    path (same compiled math, different orchestration)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosys_tpu.core.pab import build_plans
+    from videosys_tpu.pipelines.open_sora.data_process import (
+        append_score_to_prompts,
+        get_image_size,
+        get_num_frames,
+        text_preprocessing,
+    )
+
+    out_scan = engine.generate("a red square", resolution="144p",
+                               aspect_ratio="1:1", num_frames=17, seed=7)
+
+    pipe = engine.driver_worker
+    height, width = get_image_size("144p", "1:1")
+    nf = get_num_frames(17)
+    rng = jax.random.key(7)
+    prompts = append_score_to_prompts(
+        [text_preprocessing("a red square")], aes=6.5, flow=None,
+        camera_motion=None)
+    y, m = pipe.text_encoder.encode(prompts)
+    y_all = jnp.concatenate([y, pipe.null_embed(1)]).astype(pipe.dtype)
+    m_all = jnp.concatenate([m, m])
+    t_lat, h_lat, w_lat = pipe.vae.get_latent_size((nf, height, width))
+    rng, zkey = jax.random.split(rng)
+    z = jax.random.normal(zkey, (1, pipe.vae.out_channels, t_lat, h_lat,
+                                 w_lat), jnp.float32)
+    ts = pipe.scheduler.prepare_timesteps(height, width, nf)
+    dts = pipe.scheduler.prepare_dts(ts)
+    plans = build_plans(None, ts, pipe.model_config.depth, pipe.dtype)
+    fps = jnp.full((1,), 24.0, jnp.float32)
+    for i, (t_i, dt_i) in enumerate(zip(ts, dts)):
+        fn = pipe._get_step_fn(plans[i], float(height), float(width), 7.0)
+        z, _ = fn(pipe.params["transformer"], z, t_i, dt_i, y_all, m_all,
+                  fps, None)
+    samples = pipe.vae.decode(pipe.params["vae"], z, num_frames=nf)
+    video = np.asarray(samples, np.float32)
+    video = np.clip(video, -1, 1)
+    video = ((video + 1) / 2 * 255 + 0.5).clip(0, 255).astype(np.uint8)
+    video = np.transpose(video, (0, 2, 3, 4, 1))
+    np.testing.assert_array_equal(video, out_scan.video)
