@@ -203,3 +203,22 @@ def test_scanned_sampling_matches_per_step(engine):
     video = ((video + 1) / 2 * 255 + 0.5).clip(0, 255).astype(np.uint8)
     video = np.transpose(video, (0, 2, 3, 4, 1))
     np.testing.assert_array_equal(video, out_scan.video)
+
+
+def test_reference_api_surface():
+    """The reference's public entry points must exist and its call patterns
+    must be accepted (videosys/__init__.py:1-22 + low-mem config kwargs)."""
+    import videosys_tpu as v
+
+    for name in ("VideoSysEngine", "initialize", "OpenSoraConfig",
+                 "OpenSoraPABConfig", "OpenSoraPipeline", "LatteConfig",
+                 "LattePABConfig", "LattePipeline", "CogVideoXConfig",
+                 "CogVideoXPABConfig", "CogVideoXPipeline",
+                 "OpenSoraPlanConfig", "OpenSoraPlanV110PABConfig",
+                 "OpenSoraPlanV120PABConfig", "OpenSoraPlanPipeline",
+                 "VchitectConfig", "VchitectPABConfig", "VchitectXLPipeline"):
+        assert hasattr(v, name), name
+    v.initialize(seed=0)
+    # the reference low-mem pattern must construct
+    cfg = v.OpenSoraConfig(cpu_offload=True, tiling_size=1)
+    assert cfg.pipeline_cls is v.OpenSoraPipeline
