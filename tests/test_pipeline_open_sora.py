@@ -222,3 +222,17 @@ def test_reference_api_surface():
     # the reference low-mem pattern must construct
     cfg = v.OpenSoraConfig(cpu_offload=True, tiling_size=1)
     assert cfg.pipeline_cls is v.OpenSoraPipeline
+
+
+def test_unresolvable_weights_raise():
+    """A configured model path that doesn't resolve must fail loudly, like
+    the reference's from_pretrained — not silently generate noise (advisor
+    finding r1)."""
+    cfg = OpenSoraConfig(transformer="/nonexistent/OpenSora-STDiT-v3",
+                         vae=None, text_encoder=None, dtype="fp32")
+    with pytest.raises(FileNotFoundError, match="transformer weights"):
+        VideoSysEngine(cfg, vae=tiny_vae())
+    cfg2 = tiny_config()
+    cfg2.vae = "/nonexistent/OpenSora-VAE-v1.2"
+    with pytest.raises(FileNotFoundError, match="VAE weights"):
+        VideoSysEngine(cfg2, vae=tiny_vae())

@@ -137,9 +137,47 @@ def test_training_losses_shape_and_mask():
     def jnp_concat_double(x):
         return jnp.concatenate([x * 0.9, x], axis=1)
 
-    loss = sched.training_losses(model_fn, jax.random.key(1), x0)
+    loss = sched.training_losses(model_fn, jax.random.key(1), x0,
+                                 height=256.0, width=256.0, num_frames=34)
     assert loss.shape == (2,)
     mask = jnp.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], dtype=jnp.float32)
-    loss_m = sched.training_losses(model_fn, jax.random.key(1), x0, mask=mask)
+    loss_m = sched.training_losses(model_fn, jax.random.key(1), x0, mask=mask,
+                                   height=256.0, width=256.0, num_frames=34)
     assert loss_m.shape == (2,)
     assert np.all(np.isfinite(np.asarray(loss_m)))
+
+
+def test_training_losses_requires_dims_when_transform_enabled():
+    """The reference recipe warps training t per bucket (:121-122); silently
+    skipping the warp was an advisor-flagged bug. Without dims we raise."""
+    import jax
+    import jax.numpy as jnp
+
+    sched = RFlowScheduler(RFlowConfig())
+    x0 = jax.random.normal(jax.random.key(0), (2, 4, 6, 8, 8))
+    with pytest.raises(ValueError, match="use_timestep_transform"):
+        sched.training_losses(lambda x, t: jnp.concatenate([x, x], axis=1),
+                              jax.random.key(1), x0)
+
+
+@pytest.mark.parametrize("height,width,num_frames",
+                         [(480, 854, 51), (256, 256, 1), (144, 256, 34)])
+def test_training_timestep_transform_matches_reference(
+        ref_mod, height, width, num_frames):
+    """transform_training_t == the reference timestep_transform applied to
+    sampled training t (scheduling_rflow_open_sora.py:121-122)."""
+    import jax.numpy as jnp
+    import torch
+
+    sched = RFlowScheduler(RFlowConfig(use_timestep_transform=True))
+    t = np.linspace(1.0, 999.0, 13, dtype=np.float32)
+    got = np.asarray(sched.transform_training_t(
+        jnp.asarray(t), float(height), float(width), num_frames))
+    model_args = {
+        "height": torch.full((13,), float(height)),
+        "width": torch.full((13,), float(width)),
+        "num_frames": torch.full((13,), num_frames, dtype=torch.long),
+    }
+    want = ref_mod.timestep_transform(
+        torch.from_numpy(t), model_args, num_timesteps=1000).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -58,7 +58,12 @@ def test_pab_cache_roundtrip():
     )
     x, t, y, kv_mask, fps = _inputs()
 
-    compute_model = STDiT3(TINY, plan=PABStepPlan(), pab_config=pab)
+    # a step followed by a broadcast step carries static save flags
+    # (build_plans sets save_* = next step reads; write-only mode)
+    compute_model = STDiT3(
+        TINY, plan=PABStepPlan(save_spatial=True, save_temporal=True,
+                               save_cross=True),
+        pab_config=pab)
     params = compute_model.init(jax.random.key(0), x, t, y, kv_mask=kv_mask,
                                 fps=fps, height=256.0, width=256.0)
     cache = compute_model.init_cache(B=2, T=3, S=16)

@@ -58,11 +58,22 @@ class PABConfig:
 @dataclasses.dataclass(frozen=True)
 class PABStepPlan:
     """Static per-step broadcast decisions. Hashable -> usable as a jit
-    specialization key. MLP flags are per-depth numpy bool tuples."""
+    specialization key. MLP flags are per-depth numpy bool tuples.
+
+    ``spatial/temporal/cross`` mean READ the cache this step (broadcast);
+    ``save_*`` mean WRITE the freshly computed value into the cache because
+    the NEXT step broadcasts it. Since the whole ladder is host-static, every
+    cache slot has a static per-step mode in {absent, read, write} — steps
+    that neither read nor write a slot pay zero HBM traffic for it (the
+    reference pays a Python-side dict lookup; a jitted program would
+    otherwise pay a full copy)."""
 
     spatial: bool = False
     temporal: bool = False
     cross: bool = False
+    save_spatial: bool = False
+    save_temporal: bool = False
+    save_cross: bool = False
     # per-depth tuples (static): save into / read from the MLP cache slot
     mlp_spatial_save: tuple[bool, ...] = ()
     mlp_spatial_use: tuple[bool, ...] = ()
@@ -77,6 +88,17 @@ class PABStepPlan:
     def any_mlp(self) -> bool:
         return any(self.mlp_spatial_save) or any(self.mlp_spatial_use) or \
             any(self.mlp_temporal_save) or any(self.mlp_temporal_use)
+
+    def slot_mode(self, branch: str, slot: str) -> str:
+        """Static cache-slot mode for this step: absent | read | write."""
+        if slot == "attn":
+            read = self.spatial if branch == "spatial" else self.temporal
+            write = self.save_spatial if branch == "spatial" else self.save_temporal
+        elif slot == "cross":
+            read, write = self.cross, self.save_cross
+        else:  # mlp: active (read+write rows) iff any flag set this step
+            return "readwrite" if self.any_mlp else "absent"
+        return "read" if read else ("write" if write else "absent")
 
 
 def _broadcast_flags(
@@ -153,14 +175,35 @@ def build_plans(
     else:
         empty = [()] * n
         ms_save = ms_use = mt_save = mt_use = empty
+    def nxt(flags, i):
+        # write needed iff this step computes and the next step broadcasts
+        return (not flags[i]) and (i + 1 < n) and flags[i + 1]
+
     return [
         PABStepPlan(
             spatial=sp[i], temporal=tp[i], cross=cr[i],
+            save_spatial=nxt(sp, i), save_temporal=nxt(tp, i),
+            save_cross=nxt(cr, i),
             mlp_spatial_save=ms_save[i], mlp_spatial_use=ms_use[i],
             mlp_temporal_save=mt_save[i], mlp_temporal_use=mt_use[i],
         )
         for i in range(n)
     ]
+
+
+def mlp_config_blocks(config: Optional[PABConfig]) -> tuple[int, ...]:
+    """Union of block indices appearing in the MLP broadcast configs — the
+    only depths that ever need an MLP cache row (the reference stores cache
+    entries keyed (timestep, block) and deletes them at range end,
+    pab_mgr.py:141-174; here the slim per-block rows are resident)."""
+    if config is None or not config.mlp_broadcast:
+        return ()
+    blocks = set()
+    for cfg in (config.mlp_spatial_broadcast_config,
+                config.mlp_temporal_broadcast_config):
+        for spec in (cfg or {}).values():
+            blocks.update(int(b) for b in spec["block"])
+    return tuple(sorted(blocks))
 
 
 def num_step_variants(plans: Sequence[PABStepPlan]) -> int:

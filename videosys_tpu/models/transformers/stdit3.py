@@ -31,7 +31,7 @@ import numpy as np
 from einops import rearrange
 
 from videosys_tpu.core import parallel as par
-from videosys_tpu.core.pab import PABConfig, PABStepPlan
+from videosys_tpu.core.pab import PABConfig, PABStepPlan, mlp_config_blocks
 from videosys_tpu.models.modules.blocks import MultiHeadCrossAttention, SelfAttention
 from videosys_tpu.models.modules.embeddings import (
     CaptionEmbedder,
@@ -79,14 +79,25 @@ def t_mask_select(x_mask, x, masked_x):
 
 class STDiT3Block(nn.Module):
     """One DiT block (spatial or temporal attention + cross attention + MLP)
-    with adaLN modulation. Operates on x: [B, T, S, C]."""
+    with adaLN modulation. Operates on x: [B, T, S, C].
+
+    PAB cache slots have a STATIC per-step mode ("absent"/"read"/"write",
+    core/pab.py slot_mode): a read step consumes ``cache`` and never writes;
+    a write step computes normally and emits the value into ``written``;
+    most steps are absent for most slots and pay zero cache traffic. The MLP
+    skip is a real skip: `nn.cond` on the per-depth ``mlp_use`` flag executes
+    either the full MLP or a negligible 1-token call (identical param
+    creation) + cache-row readout — unlike the reference this preserves the
+    exact save/use semantics of pab_mgr.py:93-174 without a Python-side
+    registry."""
 
     config: STDiT3Config
     temporal: bool = False
-    # static PAB flags for this jit specialization
-    bcast_attn: bool = False
-    bcast_cross: bool = False
-    mlp_cached: bool = False  # whether an MLP cache slot is carried
+    # static PAB modes for this jit specialization
+    attn_mode: str = "absent"    # absent | read | write
+    cross_mode: str = "absent"
+    mlp_cached: bool = False     # an MLP cache row is threaded this step
+    cache_dtype: Any = None      # storage dtype for written slots
 
     @nn.compact
     def __call__(
@@ -97,13 +108,15 @@ class STDiT3Block(nn.Module):
         t0_mlp: Optional[jax.Array],   # [B, 6C] (x_mask branch)
         x_mask: Optional[jax.Array],   # [B, T] bool
         kv_mask: Optional[jax.Array],  # [B, L] bool
-        cache: PABCache,               # this block's cache slots (may be empty)
-        mlp_save,                      # [] bool (traced) — write MLP slot
-        mlp_use,                       # [] bool (traced) — read MLP slot
+        cache: PABCache,               # readable slots for this step
+        mlp_row,                       # [B, T, S, C] cache row (or None)
+        mlp_save,                      # [] bool (traced) — write MLP row
+        mlp_use,                       # [] bool (traced) — read MLP row
     ) -> Tuple[jax.Array, PABCache]:
         cfg = self.config
         B, T, S, C = x.shape
-        new_cache: PABCache = {}
+        cdt = self.cache_dtype or cfg.dtype
+        written: PABCache = {}
 
         table = self.param(
             "scale_shift_table",
@@ -122,7 +135,7 @@ class STDiT3Block(nn.Module):
              shift_mlp0, scale_mlp0, gate_mlp0) = (mods0[:, i] for i in range(6))
 
         # ---- attention (spatial or temporal) --------------------------- #
-        if self.bcast_attn:
+        if self.attn_mode == "read":
             x_m_s = cache["attn"].astype(x.dtype)
         else:
             normed1 = layer_norm(x)
@@ -164,13 +177,13 @@ class STDiT3Block(nn.Module):
             if x_mask is not None:
                 x_m_s = t_mask_select(x_mask, x_m_s, gate_msa0 * x_m)
 
-        if "attn" in cache:
-            new_cache["attn"] = x_m_s.astype(cache["attn"].dtype)
+        if self.attn_mode == "write":
+            written["attn"] = x_m_s.astype(cdt)
 
         x = x + x_m_s
 
         # ---- cross attention ------------------------------------------- #
-        if self.bcast_cross:
+        if self.cross_mode == "read":
             x_cross = cache["cross"].astype(x.dtype)
         else:
             xq = x.reshape(B * T, S, C)
@@ -180,72 +193,110 @@ class STDiT3Block(nn.Module):
                 dtype=cfg.dtype, name="cross_attn",
             )(xq, y, kv_mask)
             x_cross = x_cross.reshape(B, T, S, C)
-        if "cross" in cache:
-            new_cache["cross"] = x_cross.astype(cache["cross"].dtype)
+        if self.cross_mode == "write":
+            written["cross"] = x_cross.astype(cdt)
 
         x = x + x_cross
 
         # ---- MLP -------------------------------------------------------- #
         normed2 = layer_norm(x)
-        x_m = t2i_modulate(normed2, shift_mlp, scale_mlp)
-        if x_mask is not None:
-            x_m = t_mask_select(
-                x_mask, x_m, t2i_modulate(normed2, shift_mlp0, scale_mlp0)
-            )
-        x_m = Mlp(
-            hidden_features=int(cfg.hidden_size * cfg.mlp_ratio),
-            out_features=cfg.hidden_size, dtype=cfg.dtype, name="mlp",
-        )(x_m)
-        x_m_s = gate_mlp * x_m
-        if x_mask is not None:
-            x_m_s = t_mask_select(x_mask, x_m_s, gate_mlp0 * x_m)
+
+        def _mlp_compute(mdl, normed2):
+            x_m = t2i_modulate(normed2, shift_mlp, scale_mlp)
+            if x_mask is not None:
+                x_m = t_mask_select(
+                    x_mask, x_m, t2i_modulate(normed2, shift_mlp0, scale_mlp0)
+                )
+            x_m = Mlp(
+                hidden_features=int(cfg.hidden_size * cfg.mlp_ratio),
+                out_features=cfg.hidden_size, dtype=cfg.dtype, name="mlp",
+            )(x_m)
+            x_m_s = gate_mlp * x_m
+            if x_mask is not None:
+                x_m_s = t_mask_select(x_mask, x_m_s, gate_mlp0 * x_m)
+            return x_m_s
 
         if self.mlp_cached:
-            # compute-and-select (exact outputs; see core/pab.py rationale)
-            x_m_s = jnp.where(mlp_use, cache["mlp"].astype(x.dtype), x_m_s)
-            new_cache["mlp"] = jnp.where(
-                mlp_save, x_m_s, cache["mlp"].astype(x.dtype)
-            ).astype(cache["mlp"].dtype)
+            def _mlp_skip(mdl, normed2):
+                # same param creation as the compute branch at ~1/(T*S) cost
+                _ = Mlp(
+                    hidden_features=int(cfg.hidden_size * cfg.mlp_ratio),
+                    out_features=cfg.hidden_size, dtype=cfg.dtype, name="mlp",
+                )(normed2[:, :1, :1])
+                return jnp.broadcast_to(
+                    mlp_row.astype(normed2.dtype), normed2.shape)
+
+            x_m_s = nn.cond(mlp_use, _mlp_skip, _mlp_compute, self, normed2)
+            written["mlp"] = x_m_s.astype(cdt)
+        else:
+            x_m_s = _mlp_compute(self, normed2)
 
         x = x + x_m_s
-        return x, new_cache
+        return x, written
 
 
 class STDiT3DepthPair(nn.Module):
     """One (spatial, temporal) block pair — the scanned unit
-    (STDiT3.forward :609-613 iterates these pairs)."""
+    (STDiT3.forward :609-613 iterates these pairs).
+
+    carry = (x, mlp_carries) where mlp_carries holds the slim per-branch MLP
+    cache [n_cfg_blocks, B, T, S, C] (only the depths that ever cache MLP);
+    row access is gated by `lax.cond` on the per-depth flags so untouched
+    iterations pay no HBM traffic. scanned = (readable attn/cross slots,
+    per-depth row index, per-depth mlp save/use flags)."""
 
     config: STDiT3Config
     plan: PABStepPlan = PABStepPlan()
-    cache_keys_spatial: Tuple[str, ...] = ()
-    cache_keys_temporal: Tuple[str, ...] = ()
+    cache_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask):
-        caches, mlp_flags = scanned
+    def __call__(self, carry, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask):
+        x, mlp_carries = carry
+        read_caches, row_idx, mlp_flags = scanned
         plan = self.plan
-        x, nc_s = STDiT3Block(
-            config=self.config, temporal=False,
-            bcast_attn=plan.spatial, bcast_cross=plan.cross,
-            mlp_cached="mlp" in self.cache_keys_spatial,
-            name="spatial",
-        )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
-          caches.get("spatial", {}),
-          mlp_flags.get("spatial_save", False), mlp_flags.get("spatial_use", False))
-        x, nc_t = STDiT3Block(
-            config=self.config, temporal=True,
-            bcast_attn=plan.temporal, bcast_cross=plan.cross,
-            mlp_cached="mlp" in self.cache_keys_temporal,
-            name="temporal",
-        )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
-          caches.get("temporal", {}),
-          mlp_flags.get("temporal_save", False), mlp_flags.get("temporal_use", False))
-        new_caches = {}
-        if nc_s:
-            new_caches["spatial"] = nc_s
-        if nc_t:
-            new_caches["temporal"] = nc_t
-        return x, new_caches
+        written = {}
+        new_mlp_carries = {}
+
+        def run_branch(branch, temporal, x):
+            cached = branch in mlp_carries
+            if cached:
+                c = mlp_carries[branch]
+                use = mlp_flags[f"{branch}_use"]
+                save = mlp_flags[f"{branch}_save"]
+                row = jax.lax.cond(
+                    use,
+                    lambda c: jax.lax.dynamic_index_in_dim(
+                        c, row_idx, 0, keepdims=False),
+                    lambda c: jnp.zeros(c.shape[1:], c.dtype),
+                    c)
+            else:
+                c, row, use, save = None, None, False, False
+
+            attn_mode = plan.slot_mode(branch, "attn")
+            cross_mode = plan.slot_mode(branch, "cross")
+            x, w = STDiT3Block(
+                config=self.config, temporal=temporal,
+                attn_mode=attn_mode, cross_mode=cross_mode,
+                mlp_cached=cached, cache_dtype=self.cache_dtype,
+                name=branch,
+            )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
+              read_caches.get(branch, {}), row, save, use)
+
+            if cached:
+                new_row = w.pop("mlp")
+                new_mlp_carries[branch] = jax.lax.cond(
+                    save,
+                    lambda c: jax.lax.dynamic_update_index_in_dim(
+                        c, new_row, row_idx, 0),
+                    lambda c: c,
+                    c)
+            if w:
+                written[branch] = w
+            return x
+
+        x = run_branch("spatial", False, x)
+        x = run_branch("temporal", True, x)
+        return (x, new_mlp_carries), written
 
 
 class STDiT3(nn.Module):
@@ -267,35 +318,53 @@ class STDiT3(nn.Module):
             keys.append("attn")
         if pc.cross_broadcast:
             keys.append("cross")
-        if pc.mlp_broadcast:
+        if pc.mlp_broadcast and mlp_config_blocks(pc):
             keys.append("mlp")
         return tuple(keys)
 
-    def init_cache(self, B: int, T: int, S: int) -> Dict[str, PABCache]:
-        """Zero-initialized PAB cache pytree: [depth, B, T, S, C] per slot."""
-        cfg = self.config
-        cdt = cfg.dtype
+    def _cache_dtype(self):
         if self.pab_config is not None and self.pab_config.cache_dtype:
-            cdt = getattr(jnp, self.pab_config.cache_dtype)
+            return getattr(jnp, self.pab_config.cache_dtype)
+        return self.config.dtype
+
+    def init_cache(self, B: int, T: int, S: int) -> Dict[str, PABCache]:
+        """Zero-initialized PAB cache pytree. attn/cross slots are
+        [depth, B, T, S, C]; the MLP slot is the slim
+        [len(mlp_config_blocks), B, T, S, C] — only depths that ever cache
+        (the reference deletes cache entries at range end, pab_mgr.py:162-168;
+        here the resident footprint is bounded up front)."""
+        cfg = self.config
+        cdt = self._cache_dtype()
         shape = (cfg.depth, B, T, S, cfg.hidden_size)
+        n_mlp = len(mlp_config_blocks(self.pab_config))
+        mlp_shape = (n_mlp, B, T, S, cfg.hidden_size)
         caches: Dict[str, PABCache] = {}
         for branch, temporal in (("spatial", False), ("temporal", True)):
             keys = self.cache_keys(temporal)
             if keys:
-                caches[branch] = {k: jnp.zeros(shape, cdt) for k in keys}
+                caches[branch] = {
+                    k: jnp.zeros(mlp_shape if k == "mlp" else shape, cdt)
+                    for k in keys}
         return caches
 
-    def _mlp_flag_arrays(self) -> Dict[str, jax.Array]:
+    def _mlp_scan_arrays(self) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """(per-depth row index into the slim MLP slot, per-depth save/use
+        flag arrays) for this step's plan."""
         plan, depth = self.plan, self.config.depth
-        flags = {}
-        if self.pab_config is not None and self.pab_config.mlp_broadcast:
-            def arr(t):
-                return jnp.asarray(t if t else (False,) * depth)
-            flags["spatial_save"] = arr(plan.mlp_spatial_save)
-            flags["spatial_use"] = arr(plan.mlp_spatial_use)
-            flags["temporal_save"] = arr(plan.mlp_temporal_save)
-            flags["temporal_use"] = arr(plan.mlp_temporal_use)
-        return flags
+        blocks = mlp_config_blocks(self.pab_config)
+        idx = np.zeros((depth,), np.int32)
+        for r, b in enumerate(blocks):
+            if b < depth:
+                idx[b] = r
+        def arr(t):
+            return jnp.asarray(t if t else (False,) * depth)
+        flags = {
+            "spatial_save": arr(plan.mlp_spatial_save),
+            "spatial_use": arr(plan.mlp_spatial_use),
+            "temporal_save": arr(plan.mlp_temporal_save),
+            "temporal_use": arr(plan.mlp_temporal_use),
+        }
+        return jnp.asarray(idx), flags
 
     @nn.compact
     def __call__(
@@ -357,9 +426,27 @@ class STDiT3(nn.Module):
         xe = par.shard_spatial(xe)  # resident DSP layout (:598-603)
 
         # --- scanned depth pairs (:607-613) -------------------------------- #
+        # Assemble the static per-slot cache modes for this step's plan:
+        # read slots enter the scan as per-depth inputs; written slots leave
+        # as per-depth outputs; everything else passes through untouched
+        # (aliased by donation — zero HBM traffic).
         caches = pab_cache if pab_cache is not None else {}
-        mlp_flags = self._mlp_flag_arrays()
-        scanned = (caches, mlp_flags)
+        # without a cache pytree no PAB behavior is possible (e.g. init)
+        plan = self.plan if pab_cache is not None else PABStepPlan()
+        read_in: Dict[str, PABCache] = {}
+        for branch in caches:
+            rd = {sl: caches[branch][sl] for sl in ("attn", "cross")
+                  if sl in caches[branch]
+                  and plan.slot_mode(branch, sl) == "read"}
+            read_in[branch] = rd
+        mlp_active = plan.any_mlp
+        mlp_carries = {}
+        if mlp_active:
+            for branch in caches:
+                if "mlp" in caches[branch]:
+                    mlp_carries[branch] = caches[branch]["mlp"]
+        row_idx, mlp_flags = self._mlp_scan_arrays()
+        scanned = (read_in, row_idx, mlp_flags)
 
         pair_cls = STDiT3DepthPair
         if self.remat:
@@ -376,12 +463,18 @@ class STDiT3(nn.Module):
             out_axes=0,
             length=cfg.depth,
         )
-        xs, new_caches = ScanPairs(
-            config=cfg, plan=self.plan,
-            cache_keys_spatial=self.cache_keys(False),
-            cache_keys_temporal=self.cache_keys(True),
+        (xs, mlp_carries_out), written = ScanPairs(
+            config=cfg, plan=plan, cache_dtype=self._cache_dtype(),
             name="blocks",
-        )(xe, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask)
+        )((xe, mlp_carries), scanned, y, t_mlp, t0_mlp, x_mask, kv_mask)
+
+        # merge: written stacks override, MLP carries re-enter their slots,
+        # untouched slots pass through (aliased)
+        new_caches = {b: dict(slots) for b, slots in caches.items()}
+        for branch, w in written.items():
+            new_caches[branch].update(w)
+        for branch, arr in mlp_carries_out.items():
+            new_caches[branch]["mlp"] = arr
 
         # --- final layer (:621-623, T2IFinalLayer :51-87) ------------------- #
         table = self.param(

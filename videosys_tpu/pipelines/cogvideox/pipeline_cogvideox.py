@@ -99,8 +99,11 @@ class CogVideoXPipeline(VideoSysPipeline):
                 self.text_encoder = T5TextEncoder(
                     config.model_path, max_length=self.model_config.max_text_seq_length,
                     dtype=self.dtype) if config.model_path else None
-            except Exception:
-                self.text_encoder = None
+            except Exception as e:
+                raise RuntimeError(
+                    f"text encoder for {config.model_path!r} could not be "
+                    f"loaded ({e}); pass model_path=None for the offline "
+                    f"stub") from e
             if self.text_encoder is None:
                 self.text_encoder = StubTextEncoder(
                     output_dim=self.model_config.text_embed_dim,
@@ -119,10 +122,11 @@ class CogVideoXPipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
-        from videosys_tpu.utils.checkpoint import try_load_params
+        from videosys_tpu.utils.checkpoint import require_weights, try_load_params
 
         loaded = try_load_params(self._config, family="cogvideox",
                                  default_depth=30) or {}
+        require_weights(loaded, self._config)
         mc = self.model_config
         model = CogVideoXTransformer3D(mc)
         dummy_x = jnp.zeros((1, 2, mc.in_channels, 2 * mc.patch_size,

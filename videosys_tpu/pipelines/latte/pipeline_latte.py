@@ -97,8 +97,11 @@ class LattePipeline(VideoSysPipeline):
             try:
                 self.text_encoder = T5TextEncoder(config.model_path, dtype=self.dtype) \
                     if config.model_path else None
-            except Exception:
-                self.text_encoder = None
+            except Exception as e:
+                raise RuntimeError(
+                    f"text encoder for {config.model_path!r} could not be "
+                    f"loaded ({e}); pass model_path=None for the offline "
+                    f"stub") from e
             if self.text_encoder is None:
                 self.text_encoder = StubTextEncoder(
                     output_dim=self.model_config.caption_channels,
@@ -112,9 +115,10 @@ class LattePipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
-        from videosys_tpu.utils.checkpoint import try_load_params
+        from videosys_tpu.utils.checkpoint import require_weights, try_load_params
 
         loaded = try_load_params(self._config, family="latte") or {}
+        require_weights(loaded, self._config)
         mc = self.model_config
         model = LatteT2V(mc)
         dummy_x = jnp.zeros((1, mc.in_channels, 2, 2 * mc.patch_size,

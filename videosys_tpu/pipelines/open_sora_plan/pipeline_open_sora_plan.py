@@ -154,8 +154,11 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
                 self.text_encoder = T5TextEncoder(
                     config.text_encoder, dtype=self.dtype) \
                     if config.text_encoder else None
-            except Exception:
-                self.text_encoder = None
+            except Exception as e:
+                raise RuntimeError(
+                    f"text encoder {config.text_encoder!r} could not be "
+                    f"loaded ({e}); pass text_encoder=None for the offline "
+                    f"stub") from e
             if self.text_encoder is None:
                 self.text_encoder = StubTextEncoder(
                     output_dim=self.model_config.caption_channels,
@@ -172,12 +175,13 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
 
     # ---------------------------------------------------------------------- #
     def _init_params(self, seed: int) -> dict:
-        from videosys_tpu.utils.checkpoint import try_load_params
+        from videosys_tpu.utils.checkpoint import require_weights, try_load_params
 
         family = "latte" if self.version == "v110" else "osp_v120"
         loaded = try_load_params(self._config, family=family,
                                  default_depth=28 if self.version == "v110"
                                  else 32) or {}
+        require_weights(loaded, self._config)
         if "transformer" in loaded:
             p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
             return {"transformer": loaded["transformer"], "vae": p_v}

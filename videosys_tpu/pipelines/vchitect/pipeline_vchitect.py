@@ -132,10 +132,11 @@ class VchitectXLPipeline(VideoSysPipeline):
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
-        from videosys_tpu.utils.checkpoint import try_load_params
+        from videosys_tpu.utils.checkpoint import require_weights, try_load_params
 
         loaded = try_load_params(self._config, family="vchitect",
                                  default_depth=18) or {}
+        require_weights(loaded, self._config)
         mc = self.model_config
         model = VchitectXLTransformer(mc)
         p = mc.patch_size

@@ -131,6 +131,19 @@ class RFlowScheduler:
             return jax.nn.sigmoid(z) * c.num_timesteps
         raise ValueError(c.sample_method)
 
+    def transform_training_t(self, t: jax.Array, height: float, width: float,
+                             num_frames: int) -> jax.Array:
+        """Resolution/duration warp of sampled training timesteps — the
+        traced twin of `timestep_transform` (reference applies it to training
+        t at :121-122). The bucket dims are static per compiled step so the
+        warp ratio is a host-side constant."""
+        c = self.config
+        ratio_space = float(np.sqrt(height * width / (512.0 * 512.0)))
+        lat_frames = 1.0 if num_frames == 1 else (num_frames // 17) * 5
+        ratio = ratio_space * float(np.sqrt(lat_frames)) * c.transform_scale
+        tn = t / c.num_timesteps
+        return ratio * tn / (1.0 + (ratio - 1.0) * tn) * c.num_timesteps
+
     def training_losses(
         self,
         model_fn: Callable[..., jax.Array],
@@ -140,13 +153,28 @@ class RFlowScheduler:
         mask: Optional[jax.Array] = None,
         t: Optional[jax.Array] = None,
         weights: Optional[jax.Array] = None,
+        height: Optional[float] = None,
+        width: Optional[float] = None,
+        num_frames: Optional[int] = None,
     ) -> jax.Array:
         """MSE(v_pred, x0 - noise) with optional frame mask
-        (RFlowScheduler.training_losses :103-142). x0: [B, C, T, H, W]."""
+        (RFlowScheduler.training_losses :103-142). x0: [B, C, T, H, W].
+
+        When ``use_timestep_transform`` is set, the sampled t is warped by the
+        bucket's (height, width, num_frames) exactly like the reference
+        (:121-122 -> timestep_transform :47-70). The bucket shape is static
+        per compiled step, so the warp ratio is a host-side constant; pixel
+        dims are required in that case."""
         model_kwargs = dict(model_kwargs or {})
         rng_t, rng_n = jax.random.split(rng)
         if t is None:
             t = self.sample_t(rng_t, x0.shape[0])
+            if self.config.use_timestep_transform:
+                if height is None or width is None or num_frames is None:
+                    raise ValueError(
+                        "use_timestep_transform requires height/width/"
+                        "num_frames (pixel dims) in training_losses")
+                t = self.transform_training_t(t, height, width, num_frames)
         noise = jax.random.normal(rng_n, x0.shape, dtype=x0.dtype)
         x_t = self.add_noise(x0, noise, t)
         if mask is not None:

@@ -100,7 +100,8 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
         def step_builder(thw, bs, sp):
             T, H, W = thw
             t_lat, h_lat, w_lat = max(1, T // 17 * 5) if T > 1 else 1, H // 8, W // 8
-            fn = make_train_step(model, scheduler, tx, float(H), float(W))
+            fn = make_train_step(model, scheduler, tx, float(H), float(W),
+                                 num_frames=int(T))
             x = jnp.zeros((bs, cfg.model.in_channels, t_lat, h_lat, w_lat))
             y = jnp.zeros((bs, 8, cfg.model.caption_channels))
             batch = {"x": x, "y": y, "fps": jnp.full((bs,), 24.0)}
@@ -142,34 +143,44 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
                 t_lat = max(1, T // 17 * 5) if T > 1 else 1
                 lat_shape = (t_lat, H // 8, W // 8)
                 micro_batches = plan.micro_batches()
-                key = (plan.bucket_id, len(micro_batches[0]))
+                gas = len(micro_batches)
+                key = (plan.bucket_id, len(micro_batches[0]), gas)
                 if key not in step_fns:
                     step_fns[key] = jax.jit(make_train_step(
-                        model, scheduler, tx, float(H), float(W)),
+                        model, scheduler, tx, float(H), float(W),
+                        num_frames=int(T), gas=gas),
                         donate_argnums=(0,))
                 fn = step_fns[key]
 
                 # gradient accumulation: gas micro-batches of DISTINCT
-                # samples (reference train.py:321-364 gas loop)
-                for micro_idx in micro_batches:
+                # samples (reference train.py:321-364 gas loop); grads are
+                # averaged inside the jitted step and the optimizer steps
+                # ONCE per plan (profiler.py:824-834 boundary semantics)
+                micros = []
+                for k, micro_idx in enumerate(micro_batches):
                     # synthetic latents / text for the dummy dataset; real
                     # datasets supply pre-encoded latents (preprocess.py flow)
                     x = jnp.asarray(dataset.load_latents(
-                        micro_idx, lat_shape, rng_seed=global_step))
+                        micro_idx, lat_shape, rng_seed=global_step * gas + k))
                     if text_embed_fn is not None:
                         y, kv_mask = text_embed_fn(micro_idx)
                     else:
                         y = jax.random.normal(
-                            jax.random.fold_in(rng, global_step),
+                            jax.random.fold_in(rng, global_step * gas + k),
                             (len(micro_idx), 8, cfg.model.caption_channels))
                         kv_mask = jnp.ones((len(micro_idx), 8), bool)
-                    batch = {"x": x, "y": y, "kv_mask": kv_mask,
-                             "fps": jnp.full((x.shape[0],), 24.0)}
+                    mb = {"x": x, "y": y, "kv_mask": kv_mask,
+                          "fps": jnp.full((x.shape[0],), 24.0)}
                     if mask_gen is not None and t_lat > 1:
-                        batch["mask"] = jnp.asarray(mask_gen(
-                            x.shape[0], t_lat, seed=cfg.seed + global_step))
-                    rng, skey = jax.random.split(rng)
-                    state, metrics = fn(state, skey, batch)
+                        mb["mask"] = jnp.asarray(mask_gen(
+                            x.shape[0], t_lat, seed=cfg.seed + global_step * gas + k))
+                    micros.append(mb)
+                if gas == 1:
+                    batch = micros[0]
+                else:
+                    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
+                rng, skey = jax.random.split(rng)
+                state, metrics = fn(state, skey, batch)
                 ema_params = update_ema(ema_params, _model_params(state.params),
                                         cfg.ema_decay)
                 global_step += 1

@@ -61,10 +61,19 @@ def create_train_state(params, tx) -> TrainState:
 
 
 def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
-                    height: float, width: float):
+                    height: float, width: float,
+                    num_frames: Optional[int] = None, gas: int = 1):
     """Returns a jittable (state, rng, batch) -> (state, metrics) function.
+
     batch: dict(x [B,C,T,H,W] latents, y [B,L,Dc], kv_mask [B,L], fps [B],
-    optional mask [B,T])."""
+    optional mask [B,T]). With ``gas > 1`` every batch array instead carries a
+    leading gradient-accumulation axis [gas, B, ...]; grads are averaged over
+    the micro-batches inside one jitted call and the optimizer steps ONCE —
+    matching the reference's DeepSpeed accumulation boundary
+    (core/dcp/profiler.py:824-834, boundary at gas == total_gas-1).
+
+    ``num_frames`` is the bucket's *pixel* frame count, required when the
+    scheduler warps training timesteps (use_timestep_transform)."""
 
     def loss_fn(params, rng, batch):
         def model_fn(x_t, t, **kw):
@@ -74,11 +83,27 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
                                fps=batch["fps"], height=height, width=width)
 
         losses = scheduler.training_losses(
-            model_fn, rng, batch["x"], mask=batch.get("mask"))
+            model_fn, rng, batch["x"], mask=batch.get("mask"),
+            height=height, width=width, num_frames=num_frames)
         return losses.mean()
 
+    grad_fn = jax.value_and_grad(loss_fn)
+
     def train_step(state: TrainState, rng, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+        if gas == 1:
+            loss, grads = grad_fn(state.params, rng, batch)
+        else:
+            def micro(carry, inp):
+                acc = carry
+                key, mb = inp
+                l, g = grad_fn(state.params, key, mb)
+                return jax.tree.map(jnp.add, acc, g), l
+
+            keys = jax.random.split(rng, gas)
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            acc, losses = jax.lax.scan(micro, zeros, (keys, batch))
+            grads = jax.tree.map(lambda g: g / gas, acc)
+            loss = losses.mean()
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)

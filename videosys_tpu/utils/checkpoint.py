@@ -77,6 +77,21 @@ def try_load_params(config, family: str = "stdit3",
     return None
 
 
+def require_weights(loaded: dict, config) -> None:
+    """Raise when a configured model path did not resolve to weights and no
+    explicit random-init test hook (transformer_config) was set — mirroring
+    the reference, which fails inside from_pretrained rather than silently
+    generating noise (advisor finding, pipeline_open_sora.py:161)."""
+    path = getattr(config, "transformer", None) or getattr(
+        config, "model_path", None)
+    if "transformer" not in loaded and path and \
+            getattr(config, "transformer_config", None) is None:
+        raise FileNotFoundError(
+            f"model weights not found at {path!r} (need a local orbax dir "
+            f"or HF safetensors snapshot); set the path to None together "
+            f"with transformer_config=... for random-init testing")
+
+
 def save_params(params: dict, path: str):
     import orbax.checkpoint as ocp
 
