@@ -33,6 +33,7 @@ from videosys_tpu.training.train_step import (
     create_train_state,
     make_optimizer,
     make_train_step,
+    zero1_shardings,
 )
 
 logger = logging.getLogger(__name__)
@@ -76,11 +77,25 @@ class TrainConfig:
     sp_size: int = 1
 
 
-def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
+def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
+                 planner=None):
     """Train STDiT3 with rflow loss over bucketized variable-length batches.
-    Returns (train_state, ema_params, metrics_history)."""
+    Returns (train_state, ema_params, metrics_history).
+
+    Dynamic sequence parallelism (cfg.dynamic_sp): per-batch the loop selects
+    the mesh matching the DCP plan's sp_size from a `MeshPool` — the TPU
+    equivalent of `DynamicParallelManager.set_sp_size` consumed at reference
+    train.py:315-317. ZeRO-1 optimizer shards use the combined device axes
+    (train_step.zero1_shardings), which are physically identical across pool
+    meshes, so mesh switches move no optimizer bytes."""
+    import jax.sharding as jsh
+
     mesh = None
-    if cfg.dp_size * cfg.sp_size > 1:
+    pool = None
+    if cfg.dynamic_sp:
+        n = cfg.dp_size * cfg.sp_size
+        pool = par.MeshPool(jax.devices()[:n] if n > 1 else jax.devices())
+    elif cfg.dp_size * cfg.sp_size > 1:
         mesh = par.build_mesh(par.ParallelConfig(cfg.dp_size, 1, cfg.sp_size))
 
     model = STDiT3(cfg.model, remat=True)
@@ -95,7 +110,6 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
     mask_gen = MaskGenerator(cfg.mask_ratios) if cfg.mask_ratios else None
 
     # --- DCP profile phase (profiler.py two-phase flow) ----------------- #
-    planner = None
     if cfg.dynamic_profile:
         def step_builder(thw, bs, sp):
             T, H, W = thw
@@ -133,71 +147,114 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None):
     step_fns: dict = {}
     metrics_history = []
     global_step = 0
-    mesh_ctx = par.use_mesh(mesh) if mesh is not None else _null()
+    state_placed = False
 
-    with mesh_ctx:
-        for epoch in range(cfg.epochs):
-            sampler.set_epoch(epoch)
-            for plan in sampler:
-                T, H, W = plan.thw
-                t_lat = max(1, T // 17 * 5) if T > 1 else 1
-                lat_shape = (t_lat, H // 8, W // 8)
-                micro_batches = plan.micro_batches()
-                gas = len(micro_batches)
-                key = (plan.bucket_id, len(micro_batches[0]), gas)
-                if key not in step_fns:
-                    step_fns[key] = jax.jit(make_train_step(
-                        model, scheduler, tx, float(H), float(W),
-                        num_frames=int(T), gas=gas),
-                        donate_argnums=(0,))
-                fn = step_fns[key]
+    def _plan_mesh(plan):
+        if pool is not None:
+            # largest pool sp <= the planned sp (pool is powers of two)
+            sp = max((s for s in pool.sp_sizes if s <= max(1, plan.sp_size)),
+                     default=1)
+            return pool.mesh_for_sp(sp)
+        return mesh
 
-                # gradient accumulation: gas micro-batches of DISTINCT
-                # samples (reference train.py:321-364 gas loop); grads are
-                # averaged inside the jitted step and the optimizer steps
-                # ONCE per plan (profiler.py:824-834 boundary semantics)
-                micros = []
-                for k, micro_idx in enumerate(micro_batches):
-                    # synthetic latents / text for the dummy dataset; real
-                    # datasets supply pre-encoded latents (preprocess.py flow)
-                    x = jnp.asarray(dataset.load_latents(
-                        micro_idx, lat_shape, rng_seed=global_step * gas + k))
-                    if text_embed_fn is not None:
-                        y, kv_mask = text_embed_fn(micro_idx)
-                    else:
-                        y = jax.random.normal(
-                            jax.random.fold_in(rng, global_step * gas + k),
-                            (len(micro_idx), 8, cfg.model.caption_channels))
-                        kv_mask = jnp.ones((len(micro_idx), 8), bool)
-                    mb = {"x": x, "y": y, "kv_mask": kv_mask,
-                          "fps": jnp.full((x.shape[0],), 24.0)}
-                    if mask_gen is not None and t_lat > 1:
-                        mb["mask"] = jnp.asarray(mask_gen(
-                            x.shape[0], t_lat, seed=cfg.seed + global_step * gas + k))
-                    micros.append(mb)
-                if gas == 1:
-                    batch = micros[0]
+    for epoch in range(cfg.epochs):
+        sampler.set_epoch(epoch)
+        for plan in sampler:
+            plan_mesh = _plan_mesh(plan)
+            T, H, W = plan.thw
+            t_lat = max(1, T // 17 * 5) if T > 1 else 1
+            lat_shape = (t_lat, H // 8, W // 8)
+            micro_batches = plan.micro_batches()
+            gas = len(micro_batches)
+            mesh_key = (None if plan_mesh is None
+                        else tuple(plan_mesh.devices.shape))
+            key = (plan.bucket_id, len(micro_batches[0]), gas, mesh_key)
+            if key not in step_fns:
+                fn = make_train_step(
+                    model, scheduler, tx, float(H), float(W),
+                    num_frames=int(T), gas=gas)
+                if plan_mesh is not None:
+                    # pin the output layout to the canonical ZeRO-1 placement
+                    # (replicated params, all-device-sharded moments) so every
+                    # step ends in the SAME physical layout and mesh switches
+                    # stay zero-copy
+                    state_sh = zero1_shardings(plan_mesh, state)
+                    rep = jsh.NamedSharding(plan_mesh, jsh.PartitionSpec())
+                    step_fns[key] = jax.jit(
+                        fn, donate_argnums=(0,),
+                        out_shardings=(state_sh,
+                                       {"loss": rep, "grad_norm": rep}))
                 else:
-                    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
-                rng, skey = jax.random.split(rng)
-                state, metrics = fn(state, skey, batch)
-                ema_params = update_ema(ema_params, _model_params(state.params),
-                                        cfg.ema_decay)
-                global_step += 1
+                    step_fns[key] = jax.jit(fn, donate_argnums=(0,))
+            fn = step_fns[key]
+            if plan_mesh is not None and not state_placed:
+                # ZeRO-1 placement: replicated params, all-device-sharded
+                # moments; identical physical layout for every pool mesh
+                state = jax.device_put(
+                    state, zero1_shardings(plan_mesh, state))
+                state_placed = True
 
-                if global_step % cfg.log_every == 0:
-                    loss = float(metrics["loss"])
-                    metrics_history.append(
-                        {"step": global_step, "loss": loss,
-                         "bucket": str(plan.bucket_id)})
-                    logger.info("step %d bucket=%s loss=%.4f",
-                                global_step, plan.bucket_id, loss)
-                if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
-                    ckpt_io.save(cfg.ckpt_dir, state, ema_params, epoch,
-                                 global_step,
-                                 sampler_state=sampler.state_dict(global_step))
-                if cfg.max_steps and global_step >= cfg.max_steps:
-                    return state, ema_params, metrics_history
+            # gradient accumulation: gas micro-batches of DISTINCT
+            # samples (reference train.py:321-364 gas loop); grads are
+            # averaged inside the jitted step and the optimizer steps
+            # ONCE per plan (profiler.py:824-834 boundary semantics)
+            micros = []
+            for k, micro_idx in enumerate(micro_batches):
+                # synthetic latents / text for the dummy dataset; real
+                # datasets supply pre-encoded latents (preprocess.py flow)
+                x = jnp.asarray(dataset.load_latents(
+                    micro_idx, lat_shape, rng_seed=global_step * gas + k))
+                if text_embed_fn is not None:
+                    y, kv_mask = text_embed_fn(micro_idx)
+                else:
+                    y = jax.random.normal(
+                        jax.random.fold_in(rng, global_step * gas + k),
+                        (len(micro_idx), 8, cfg.model.caption_channels))
+                    kv_mask = jnp.ones((len(micro_idx), 8), bool)
+                mb = {"x": x, "y": y, "kv_mask": kv_mask,
+                      "fps": jnp.full((x.shape[0],), 24.0)}
+                if mask_gen is not None and t_lat > 1:
+                    mb["mask"] = jnp.asarray(mask_gen(
+                        x.shape[0], t_lat, seed=cfg.seed + global_step * gas + k))
+                micros.append(mb)
+            if gas == 1:
+                batch = micros[0]
+            else:
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
+            if plan_mesh is not None:
+                # batch dim over (dp, cp) of the plan's mesh; the model's
+                # internal constraints shard the sequence over its sp
+                def _bsh(a):
+                    spec = [None] * a.ndim
+                    spec[1 if gas > 1 else 0] = par.BATCH_AXES
+                    return jsh.NamedSharding(plan_mesh,
+                                             jsh.PartitionSpec(*spec))
+
+                batch = {k: jax.device_put(v, _bsh(v))
+                         for k, v in batch.items()}
+            rng, skey = jax.random.split(rng)
+            with par.use_mesh(plan_mesh) if plan_mesh is not None else _null():
+                state, metrics = fn(state, skey, batch)
+            ema_params = update_ema(ema_params, _model_params(state.params),
+                                    cfg.ema_decay)
+            global_step += 1
+
+            if global_step % cfg.log_every == 0:
+                loss = float(metrics["loss"])
+                metrics_history.append(
+                    {"step": global_step, "loss": loss,
+                     "bucket": str(plan.bucket_id),
+                     "sp": plan.sp_size,
+                     "mesh": mesh_key})
+                logger.info("step %d bucket=%s loss=%.4f sp=%s mesh=%s",
+                            global_step, plan.bucket_id, loss,
+                            plan.sp_size, mesh_key)
+            if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
+                ckpt_io.save(cfg.ckpt_dir, state, ema_params, epoch,
+                             global_step,
+                             sampler_state=sampler.state_dict(global_step))
+            if cfg.max_steps and global_step >= cfg.max_steps:
+                return state, ema_params, metrics_history
     return state, ema_params, metrics_history
 
 

@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from videosys_tpu.core import parallel as par
@@ -116,21 +117,32 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
 
 
 def zero1_shardings(mesh, state: TrainState):
-    """ZeRO-1: shard the AdamW moments over the dp axis on each tensor's
-    largest dp-divisible dimension; params stay replicated (matches DeepSpeed
-    stage-1 semantics, train.py:231-239)."""
+    """ZeRO-1: shard the AdamW moments on each tensor's largest divisible
+    dimension; params stay replicated (matches DeepSpeed stage-1 semantics,
+    train.py:231-239).
+
+    Moments are sharded over the COMBINED (dp, cp, sp) axes — i.e. over all
+    devices — rather than dp alone: more shards means less HBM per chip, the
+    update math is elementwise so any partition is valid, and because every
+    mesh in a `MeshPool` flattens the same device list in the same order,
+    this sharding is physically identical across pool meshes — dynamic-sp
+    mesh switches move zero optimizer bytes."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    dp = par.mesh_axis_size(mesh, par.DP_AXIS)
+    n = int(np.prod(mesh.devices.shape))
+    axes = tuple(mesh.axis_names)
     replicated = NamedSharding(mesh, P())
 
     def opt_shard(x):
         if not hasattr(x, "shape") or x.ndim == 0:
             return replicated
-        for axis, size in enumerate(x.shape):
-            if size % dp == 0 and size >= dp:
+        # prefer the largest dim divisible by the full device count; fall
+        # back to any dim divisible by a prefix product of mesh axes
+        dims = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+        for axis in dims:
+            if x.shape[axis] % n == 0 and x.shape[axis] >= n:
                 spec = [None] * x.ndim
-                spec[axis] = par.DP_AXIS
+                spec[axis] = axes
                 return NamedSharding(mesh, P(*spec))
         return replicated
 
