@@ -39,26 +39,119 @@ def get_num_frames(num_frames) -> int:
 
 _WHITESPACE_RE = re.compile(r"\s+")
 
+# Punctuation runs scrubbed to a space (reference BAD_PUNCT_REGEX,
+# pipeline_open_sora.py:25-27 — originally the DeepFloyd/PixArt caption
+# cleaner; the patterns are behavioral constants required for T5-input
+# parity with the trained model).
+_BAD_PUNCT = re.compile(r"[#®•©™&@·º½¾¿¡§~\)\(\]\[\}\{\|\\/\*]{1,}")
 
-def text_preprocessing(text: str) -> str:
-    """Light prompt cleaning. The reference's `_clean_caption`
-    (pipeline_open_sora.py:304-415) scrubs URLs/HTML/unicode artifacts with
-    ftfy+bs4; those dependencies are optional here and the heavy cleaning is
-    applied when available."""
+# The ordered regex battery of _clean_caption (pipeline_open_sora.py:309-415).
+# Each entry is (compiled pattern, replacement); table-driven rather than a
+# statement per rule, but the patterns and their order are the behavior.
+_URL1 = r"\b((?:https?:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))"
+_URL2 = r"\b((?:www:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))"
+_PRE_HTML_RULES = [(re.compile(p), r) for p, r in [
+    (r"<person>", "person"),
+    (_URL1, ""),
+    (_URL2, ""),
+]]
+_POST_HTML_RULES = [(re.compile(p), r) for p, r in [
+    (r"@[\w\d]+\b", ""),                 # @nicknames
+    # CJK / Yijing / Katakana-extension codepoint ranges
+    (r"[\u31c0-\u31ef]+", ""), (r"[\u31f0-\u31ff]+", ""),
+    (r"[\u3200-\u32ff]+", ""), (r"[\u3300-\u33ff]+", ""),
+    (r"[\u3400-\u4dbf]+", ""), (r"[\u4dc0-\u4dff]+", ""),
+    (r"[\u4e00-\u9fff]+", ""),
+    # unify dashes / quotes
+    (r"[\u002D\u058A\u05BE\u1400\u1806\u2010-\u2015\u2E17\u2E1A\u2E3A\u2E3B"
+     r"\u2E40\u301C\u3030\u30A0\uFE31\uFE32\uFE58\uFE63\uFF0D]+", "-"),
+    (r"[`´«»“”¨]", '"'),
+    (r"[‘’]", "'"),
+    (r"&quot;?", ""), (r"&amp", ""),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", " "),   # IP addresses
+    (r"\d:\d\d\s+$", ""),                           # article ids
+    (r"\\n", " "),
+    (r"#\d{1,3}\b", ""), (r"#\d{5,}\b", ""), (r"\b\d{6,}\b", ""),
+    (r"[\S]+\.(?:png|jpg|jpeg|bmp|webp|eps|pdf|apk|mp4)", ""),  # filenames
+    (r"[\"\']{2,}", '"'), (r"[\.]{2,}", " "),
+]]
+_TAIL_RULES = [(re.compile(p), r) for p, r in [
+    (r"\b[a-zA-Z]{1,3}\d{3,15}\b", ""),             # jc6640
+    (r"\b[a-zA-Z]+\d+[a-zA-Z]+\b", ""),             # jc6640vc
+    (r"\b\d+[a-zA-Z]+\d+\b", ""),                   # 6640vc231
+    (r"(worldwide\s+)?(free\s+)?shipping", ""),
+    (r"(free\s)?download(\sfree)?", ""),
+    (r"\bclick\b\s(?:for|on)\s\w+", ""),
+    (r"\b(?:png|jpg|jpeg|bmp|webp|eps|pdf|apk|mp4)(\simage[s]?)?", ""),
+    (r"\bpage\s+\d+\b", ""),
+    (r"\b\d*[a-zA-Z]+\d+[a-zA-Z]+\d+[a-zA-Z\d]*\b", " "),   # j2d1a2a...
+    (r"\b\d+\.?\d*[xх×]\d+\.?\d*\b", ""),           # dimensions 100x200
+    (r"\b\s+\:\s+", ": "),
+    (r"(\D[,\./])\b", r"\1 "),
+    (r"\s+", " "),
+]]
+_FINAL_RULES = [(re.compile(p), r) for p, r in [
+    (r"^[\"\']([\w\W]+)[\"\']$", r"\1"),
+    (r"^[\'\_,\-\:;]", ""),
+    (r"[\'\_,\-\:\-\+]$", ""),
+    (r"^\.\S+$", ""),
+]]
+_DASH_UNDERSCORE = re.compile(r"(?:\-|\_)")
+
+
+def basic_clean(text: str) -> str:
+    """ftfy + double html-unescape (reference _basic_clean :299-303).
+    ftfy is optional in this image; without it mojibake survives but ASCII
+    prompts are unaffected."""
+    import html
+
     try:
         import ftfy
 
         text = ftfy.fix_text(text)
     except ImportError:
         pass
-    try:
-        import html
+    return html.unescape(html.unescape(text)).strip()
 
-        text = html.unescape(html.unescape(text))
-    except Exception:
+
+def clean_caption(caption: str) -> str:
+    """Full port of the reference `_clean_caption`
+    (pipeline_open_sora.py:304-415): the exact cleaning used at training
+    time, so messy prompts produce the same T5 inputs."""
+    import urllib.parse as ul
+
+    caption = str(caption)
+    caption = ul.unquote_plus(caption)
+    caption = caption.strip().lower()
+    for pat, rep in _PRE_HTML_RULES:
+        caption = pat.sub(rep, caption)
+    try:
+        from bs4 import BeautifulSoup
+
+        caption = BeautifulSoup(caption, features="html.parser").text
+    except ImportError:
         pass
-    text = _WHITESPACE_RE.sub(" ", text).strip().lower()
-    return text
+    for pat, rep in _POST_HTML_RULES:
+        caption = pat.sub(rep, caption)
+    caption = _BAD_PUNCT.sub(" ", caption)
+    caption = re.sub(r"\s+\.\s+", " ", caption)
+    if len(_DASH_UNDERSCORE.findall(caption)) > 3:
+        caption = _DASH_UNDERSCORE.sub(" ", caption)
+    caption = basic_clean(caption)
+    for pat, rep in _TAIL_RULES:
+        caption = pat.sub(rep, caption)
+    caption.strip()
+    for pat, rep in _FINAL_RULES:
+        caption = pat.sub(rep, caption)
+    return caption.strip()
+
+
+def text_preprocessing(text: str, use_text_preprocessing: bool = True) -> str:
+    """The exact text cleaning as in the reference training stage
+    (pipeline_open_sora.py:417-424): clean_caption applied TWICE."""
+    if use_text_preprocessing:
+        return clean_caption(clean_caption(text))
+    return text.lower().strip()
 
 
 def append_score_to_prompts(prompts, aes=None, flow=None, camera_motion=None):

@@ -417,36 +417,48 @@ class OpenSoraPipeline(VideoSysPipeline):
                     cache = STDiT3(mc, pab_config=pab).init_cache(
                         2 * B, T_tok, S_tok)
 
-                # scan carries double-buffer in HBM: allow the PAB cache as
-                # scan carry only when 2x its size is clearly affordable
-                cache_bytes = sum(
-                    int(np.prod(a.shape)) * a.dtype.itemsize
-                    for a in jax.tree.leaves(cache)) if cache is not None else 0
-                scan_ok = cache is None or cache_bytes < (3 << 30)
-                if mask is None and scan_ok:
-                    # group consecutive same-plan steps into scanned runs
+                def _touched_bytes(plan):
+                    """HBM the plan's WRITTEN slots would double-buffer as a
+                    scan carry (untouched / read-only slots are loop-invariant
+                    or aliased; slot modes are static, core/pab.py)."""
+                    if cache is None:
+                        return 0
+                    total = 0
+                    for branch, slots in cache.items():
+                        for sl, a in slots.items():
+                            mode = plan.slot_mode(branch, sl)
+                            if mode in ("write", "readwrite"):
+                                total += int(np.prod(a.shape)) * a.dtype.itemsize
+                    return total
+
+                if mask is None:
+                    # group consecutive same-plan steps into scanned runs;
+                    # fall back to per-step dispatch when the run would
+                    # double-buffer a large written cache slot
                     i = 0
                     while i < len(timesteps):
                         j = i
                         while j < len(plans) and plans[j] == plans[i]:
                             j += 1
-                        run_ts = jnp.asarray(timesteps[i:j], jnp.float32)
-                        run_dts = jnp.asarray(dts[i:j], jnp.float32)
-                        fn = self._get_scan_fn(
-                            plans[i], float(height), float(width),
-                            float(guidance_scale), j - i)
-                        z, cache = fn(self.params["transformer"], z, run_ts,
-                                      run_dts, y_all, kv_mask_all, fps_arr,
-                                      cache)
+                        if j - i > 1 and _touched_bytes(plans[i]) < (3 << 30):
+                            run_ts = jnp.asarray(timesteps[i:j], jnp.float32)
+                            run_dts = jnp.asarray(dts[i:j], jnp.float32)
+                            fn = self._get_scan_fn(
+                                plans[i], float(height), float(width),
+                                float(guidance_scale), j - i)
+                            z, cache = fn(self.params["transformer"], z,
+                                          run_ts, run_dts, y_all, kv_mask_all,
+                                          fps_arr, cache)
+                        else:
+                            step_fn = self._get_step_fn(
+                                plans[i], float(height), float(width),
+                                float(guidance_scale))
+                            for k in range(i, j):
+                                z, cache = step_fn(
+                                    self.params["transformer"], z,
+                                    timesteps[k], dts[k], y_all, kv_mask_all,
+                                    fps_arr, cache)
                         i = j
-                elif mask is None:
-                    for i, (t_i, dt_i) in enumerate(zip(timesteps, dts)):
-                        step_fn = self._get_step_fn(
-                            plans[i], float(height), float(width),
-                            float(guidance_scale))
-                        z, cache = step_fn(self.params["transformer"], z, t_i,
-                                           dt_i, y_all, kv_mask_all, fps_arr,
-                                           cache)
                 else:
                     mask_arr = jnp.asarray(mask, jnp.float32)
                     noise_added = jnp.asarray(mask, jnp.float32) >= 1.0
@@ -459,8 +471,14 @@ class OpenSoraPipeline(VideoSysPipeline):
                             self.params["transformer"], z, t_i, dt_i, y_all,
                             kv_mask_all, fps_arr, cache, mask_arr,
                             noise_added, nkey)
-                clips.append(self.vae.decode(self.params["vae"], z,
-                                             num_frames=num_frames))
+                float(jnp.sum(z[..., :1]))  # force z; denoise phase boundary
+                _t_denoise += _time.perf_counter() - _t0
+                _t0 = _time.perf_counter()
+                clip = self.vae.decode(self.params["vae"], z,
+                                       num_frames=num_frames)
+                np.asarray(clip[..., :1, :1])  # sync for the phase timer
+                _t_vae += _time.perf_counter() - _t0
+                clips.append(clip)
 
         # stitch loops, dropping duplicated condition frames (:641-643)
         if loop > 1:
@@ -469,6 +487,8 @@ class OpenSoraPipeline(VideoSysPipeline):
         samples = jnp.concatenate(clips, axis=2) if len(clips) > 1 else clips[0]
 
         # --- postprocess (:648-652) ---------------------------------------- #
+        self.last_timings = {"text": _t_text, "denoise": _t_denoise,
+                             "vae": _t_vae}
         video = np.asarray(samples, dtype=np.float32)
         video = np.clip(video, -1, 1)
         video = ((video + 1) / 2 * 255 + 0.5).clip(0, 255).astype(np.uint8)
