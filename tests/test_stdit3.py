@@ -147,7 +147,8 @@ def test_pab_fp8_cache_close_to_dense():
                     spatial_range=2, temporal_broadcast=True,
                     temporal_threshold=(450, 930), temporal_range=4,
                     cache_dtype="float8_e4m3fn")
-    m = STDiT3(cfg, pab_config=pab)
+    m = STDiT3(cfg, pab_config=pab,
+               plan=PABStepPlan(save_spatial=True, save_temporal=True))
     cache = m.init_cache(2, 2, 16)
     assert str(jax.tree.leaves(cache)[0].dtype) == "float8_e4m3fn"
     x = jnp.ones((2, 4, 2, 8, 8))
@@ -160,3 +161,45 @@ def test_pab_fp8_cache_close_to_dense():
                 plan=PABStepPlan(spatial=True, temporal=True))
     out2, _ = m2.apply(p, x, t, y, pab_cache=c2, **kw)
     assert float(np.abs(np.asarray(out2 - out)).max()) < 0.2
+
+
+def test_pab_mlp_skip_exact():
+    """The MLP cache path (nn.cond real-skip) must reproduce the dense output
+    exactly when the cached step saw identical inputs (fp32 cache)."""
+    from videosys_tpu.core.pab import PABConfig, PABStepPlan, mlp_config_blocks
+
+    cfg = STDiT3Config(depth=2, hidden_size=32, num_heads=2,
+                       caption_channels=16, model_max_length=8)
+    mlp_cfg = {500: {"block": [0], "skip_count": 1}}
+    pab = PABConfig(mlp_broadcast=True,
+                    mlp_spatial_broadcast_config=mlp_cfg,
+                    mlp_temporal_broadcast_config=mlp_cfg)
+    assert mlp_config_blocks(pab) == (0,)
+
+    x, t, y, kv_mask, fps = _inputs()
+    kw = dict(kv_mask=kv_mask, fps=fps, height=256.0, width=256.0)
+
+    dense = STDiT3(cfg)
+    params = dense.init(jax.random.key(0), x, t, y, **kw)
+    out_dense = dense.apply(params, x, t, y, **kw)
+
+    save_plan = PABStepPlan(mlp_spatial_save=(True, False),
+                            mlp_temporal_save=(True, False),
+                            mlp_spatial_use=(False, False),
+                            mlp_temporal_use=(False, False))
+    use_plan = PABStepPlan(mlp_spatial_save=(False, False),
+                           mlp_temporal_save=(False, False),
+                           mlp_spatial_use=(True, False),
+                           mlp_temporal_use=(False, False))
+    m_save = STDiT3(cfg, plan=save_plan, pab_config=pab)
+    cache = m_save.init_cache(2, 3, 16)
+    assert cache["spatial"]["mlp"].shape[0] == 1  # slim: one configured block
+    out_save, cache1 = m_save.apply(params, x, t, y, pab_cache=cache, **kw)
+    np.testing.assert_allclose(np.asarray(out_save), np.asarray(out_dense),
+                               atol=1e-5)
+    assert np.abs(np.asarray(cache1["spatial"]["mlp"])).sum() > 0
+
+    m_use = STDiT3(cfg, plan=use_plan, pab_config=pab)
+    out_use, _ = m_use.apply(params, x, t, y, pab_cache=cache1, **kw)
+    np.testing.assert_allclose(np.asarray(out_use), np.asarray(out_dense),
+                               atol=1e-5)

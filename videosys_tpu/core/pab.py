@@ -52,7 +52,8 @@ class PABConfig:
 
     @property
     def enabled(self) -> bool:
-        return self.spatial_broadcast or self.temporal_broadcast or self.cross_broadcast
+        return (self.spatial_broadcast or self.temporal_broadcast
+                or self.cross_broadcast or self.mlp_broadcast)
 
 
 @dataclasses.dataclass(frozen=True)
