@@ -19,11 +19,14 @@ executable on synthetic data. `optimize_dynamics` then picks, per bucket:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from videosys_tpu.training.buckets import Bucket, BucketId
 from videosys_tpu.training.sampler import DCPPlanner
@@ -54,7 +57,7 @@ class Profiler:
         step_builder: Callable,
         memory_budget_bytes: Optional[int] = None,
         sp_candidates: Tuple[int, ...] = (1,),
-        measure_wall_time: bool = False,
+        measure_wall_time: bool = True,
         alloc_memory_fraction: float = 0.70,
     ):
         self.bucket = bucket
@@ -71,6 +74,7 @@ class Profiler:
         self.sp_candidates = tuple(sorted(sp_candidates))
         self.measure_wall_time = measure_wall_time
         self.results: Dict[BucketId, BucketProfile] = {}
+        self.failures: list[dict] = []
 
     # ------------------------------------------------------------------ #
     def _analyze(self, thw, bs: int, sp: int) -> Tuple[float, int, float, object, tuple]:
@@ -93,13 +97,21 @@ class Profiler:
         return mem_bytes, flops, compiled, args
 
     def profile_bucket(self, bucket_id: BucketId, bs: int) -> BucketProfile:
-        """Escalate sp (x2, :651-708) until the compiled memory plan fits."""
+        """Escalate sp (x2, :651-708) until the compiled memory plan fits.
+        A candidate whose step fails to BUILD/COMPILE is reported (not
+        silently swallowed — advisor r1 finding) in `self.failures` and the
+        log, then skipped."""
         thw = self.bucket.get_thw(bucket_id)
         last = None
         for sp in self.sp_candidates:
             try:
                 mem_bytes, flops, compiled, args = self._analyze(thw, bs, sp)
-            except Exception:
+            except Exception as e:
+                self.failures.append(
+                    {"bucket": bucket_id, "bs": bs, "sp": sp,
+                     "error": f"{type(e).__name__}: {e}"})
+                logger.warning("DCP profile failed for bucket=%s bs=%d sp=%d: %s",
+                               bucket_id, bs, sp, e)
                 continue
             fits = mem_bytes <= self.memory_budget
             t = flops / 1e12  # crude prior: seconds at 1 TFLOP/s, refined below
@@ -141,6 +153,10 @@ class Profiler:
         return DCPPlanner(profile=profile, target_time=target)
 
     def dump(self) -> dict:
-        return {
+        out = {
             str(bid): dataclasses.asdict(p) for bid, p in self.results.items()
         }
+        if self.failures:
+            out["_failures"] = [dict(f, bucket=str(f["bucket"]))
+                                for f in self.failures]
+        return out
