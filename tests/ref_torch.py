@@ -69,18 +69,55 @@ def install_stubs():
     _module("timm.models.vision_transformer", Mlp=Mlp)
     timm.models = timm_models
 
-    class _Attention(nn.Module):
-        def __init__(self, *a, **k):
-            super().__init__()
-
-    class _AttnProcessor:
-        pass
+    # faithful mini-diffusers (0.30.0 semantics) — see diffusers_stub.py
+    import diffusers_stub as D
 
     diffusers = _module("diffusers")
     dmodels = _module("diffusers.models")
-    _module("diffusers.models.attention", Attention=_Attention)
-    _module("diffusers.models.attention_processor", AttnProcessor=_AttnProcessor,
-            Attention=_Attention)
+    _module("diffusers.configuration_utils", ConfigMixin=D.ConfigMixin,
+            register_to_config=D.register_to_config)
+    _module("diffusers.models.activations", GEGLU=D.GEGLU, GELU=D.GELU,
+            ApproximateGELU=D.ApproximateGELU)
+    _module("diffusers.models.attention", Attention=D.Attention,
+            FeedForward=D.FeedForward,
+            GatedSelfAttentionDense=D.GatedSelfAttentionDense)
+    _module("diffusers.loaders", FromOriginalModelMixin=D.FromOriginalModelMixin,
+            PeftAdapterMixin=D.PeftAdapterMixin)
+    _module("diffusers.models.transformers")
+    _module("diffusers.models.transformers.transformer_2d",
+            Transformer2DModelOutput=D.Transformer2DModelOutput)
+    _module("diffusers.pipelines")
+    _module("diffusers.pipelines.pipeline_utils",
+            DiffusionPipeline=D.DiffusionPipeline)
+    _module("diffusers.models.attention_processor", Attention=D.Attention,
+            AttnProcessor=D.AttnProcessor, AttnProcessor2_0=D.AttnProcessor2_0)
+    _module("diffusers.models.embeddings",
+            ImagePositionalEmbeddings=D.ImagePositionalEmbeddings,
+            CombinedTimestepTextProjEmbeddings=D.CombinedTimestepTextProjEmbeddings,
+            PatchEmbed=D.PatchEmbed,
+            PixArtAlphaCombinedTimestepSizeEmbeddings=D.PixArtAlphaCombinedTimestepSizeEmbeddings,
+            PixArtAlphaTextProjection=D.PixArtAlphaTextProjection,
+            SinusoidalPositionalEmbedding=D.SinusoidalPositionalEmbedding,
+            get_1d_sincos_pos_embed_from_grid=D.get_1d_sincos_pos_embed_from_grid,
+            get_2d_sincos_pos_embed=D.get_2d_sincos_pos_embed,
+            get_3d_sincos_pos_embed=D.get_3d_sincos_pos_embed,
+            TimestepEmbedding=D.TimestepEmbedding, Timesteps=D.Timesteps)
+    _module("diffusers.models.lora", LoRACompatibleConv=D.LoRACompatibleConv,
+            LoRACompatibleLinear=D.LoRACompatibleLinear)
+    _module("diffusers.models.modeling_utils", ModelMixin=D.ModelMixin)
+    _module("diffusers.models.modeling_outputs",
+            Transformer2DModelOutput=D.Transformer2DModelOutput)
+    _module("diffusers.models.normalization", AdaLayerNorm=D.AdaLayerNorm,
+            AdaLayerNormZero=D.AdaLayerNormZero,
+            AdaLayerNormSingle=D.AdaLayerNormSingle,
+            AdaLayerNormContinuous=D.AdaLayerNormContinuous)
+    _module("diffusers.utils", USE_PEFT_BACKEND=D.USE_PEFT_BACKEND,
+            BaseOutput=D.BaseOutput, deprecate=D.deprecate,
+            is_torch_version=D.is_torch_version,
+            unscale_lora_layers=D.unscale_lora_layers,
+            scale_lora_layers=D.scale_lora_layers)
+    _module("diffusers.utils.torch_utils",
+            maybe_allow_in_graph=D.maybe_allow_in_graph)
     diffusers.models = dmodels
 
     class _ProcessGroupMesh:
@@ -99,6 +136,30 @@ def install_stubs():
             raise NotImplementedError
 
     _module("omegaconf", DictConfig=dict, ListConfig=list, OmegaConf=_OmegaConf)
+
+    class RotaryEmbedding(nn.Module):
+        """Faithful mini rotary_embedding_torch.RotaryEmbedding for the
+        default ('lang') config the reference uses: interleaved-pair
+        rotation, freqs 1/theta^(2i/dim), positions along dim -2."""
+
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            freqs = 1.0 / (theta ** (torch.arange(0, dim, 2)[: dim // 2]
+                                     .float() / dim))
+            self.register_buffer("freqs", freqs)
+
+        def rotate_queries_or_keys(self, t, seq_dim=-2):
+            n = t.shape[seq_dim]
+            pos = torch.arange(n, dtype=self.freqs.dtype,
+                               device=self.freqs.device)
+            f = torch.einsum("n,f->nf", pos, self.freqs)
+            f = f.repeat_interleave(2, dim=-1)              # (f0,f0,f1,f1,…)
+            x = t.reshape(*t.shape[:-1], -1, 2)
+            x1, x2 = x.unbind(-1)
+            rot = torch.stack((-x2, x1), dim=-1).reshape(t.shape)
+            return t * f.cos() + rot * f.sin()
+
+    _module("rotary_embedding_torch", RotaryEmbedding=RotaryEmbedding)
 
     # fake top-level package: submodule imports resolve against the reference
     # tree (every reference __init__.py is empty, verified)

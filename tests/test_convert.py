@@ -244,8 +244,9 @@ def test_convert_latte_tree_matches_init():
                 shapes[f"{b}.attn1.{lp}.bias"] = (hidden,)
             shapes[f"{b}.attn1.to_out.0.weight"] = (hidden, hidden)
             shapes[f"{b}.attn1.to_out.0.bias"] = (hidden,)
-            shapes[f"{b}.ff.net.0.proj.weight"] = (8 * hidden, hidden)
-            shapes[f"{b}.ff.net.0.proj.bias"] = (8 * hidden,)
+            # gelu-approximate FF (the Latte-1 checkpoint layout): 4x inner
+            shapes[f"{b}.ff.net.0.proj.weight"] = (4 * hidden, hidden)
+            shapes[f"{b}.ff.net.0.proj.bias"] = (4 * hidden,)
             shapes[f"{b}.ff.net.2.weight"] = (hidden, 4 * hidden)
             shapes[f"{b}.ff.net.2.bias"] = (hidden,)
             if kind == "transformer_blocks":

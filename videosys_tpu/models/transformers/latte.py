@@ -55,6 +55,9 @@ class LatteConfig:
     norm_eps: float = 1e-5
     learned_sigma: bool = True
     use_rope: bool = False   # OSP v1.1 RoPE2D/1D variant (v110 :2256-2262)
+    # maxin-cn/Latte-1 checkpoint value (PixArt lineage); the reference
+    # class default is "geglu" but from_pretrained overrides it
+    activation_fn: str = "gelu-approximate"
     dtype: Any = jnp.float32
 
     @property
@@ -72,19 +75,28 @@ class LatteConfig:
 
 
 class GEGLUFeedForward(nn.Module):
-    """diffusers FeedForward with GEGLU (latte :92-147): proj C->2*4C,
-    hidden * gelu(gate) [exact gelu], then 4C->C."""
+    """diffusers FeedForward (latte :92-147). activation:
+    * "geglu": proj C->2*4C, hidden * gelu(gate) [exact gelu]
+    * "gelu-approximate": proj C->4C, gelu-tanh (the Latte-1 checkpoint)
+    then 4C->C."""
 
     dim: int
     mult: int = 4
+    activation: str = "gelu-approximate"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
-        hidden, gate = jnp.split(hg, 2, axis=-1)
-        h = hidden * nn.gelu(gate, approximate=False)
+        if self.activation == "geglu":
+            hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+            hidden, gate = jnp.split(hg, 2, axis=-1)
+            h = hidden * nn.gelu(gate, approximate=False)
+        elif self.activation == "gelu-approximate":
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+            h = nn.gelu(h, approximate=True)
+        else:
+            raise ValueError(self.activation)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -143,7 +155,7 @@ class LatteSpatialBlock(nn.Module):
         x = x + cross_out
 
         h = layer_norm(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
-        ff = GEGLUFeedForward(dim=C, dtype=cfg.dtype, name="ff")(h)
+        ff = GEGLUFeedForward(dim=C, activation=cfg.activation_fn, dtype=cfg.dtype, name="ff")(h)
         ff = gate_mlp * ff
         if self.mlp_cached:
             ff = jnp.where(mlp_use, cache["mlp"], ff)
@@ -191,7 +203,7 @@ class LatteTemporalBlock(nn.Module):
         x = x + attn_out
 
         h = layer_norm(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
-        ff = GEGLUFeedForward(dim=C, dtype=cfg.dtype, name="ff")(h)
+        ff = GEGLUFeedForward(dim=C, activation=cfg.activation_fn, dtype=cfg.dtype, name="ff")(h)
         ff = gate_mlp * ff
         if self.mlp_cached:
             ff = jnp.where(mlp_use, cache["mlp"], ff)

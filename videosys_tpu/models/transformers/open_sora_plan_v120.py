@@ -59,6 +59,7 @@ class OpenSoraPlanV120Config:
     sample_size: Tuple[int, int] = (60, 80)   # latent (h, w) the ckpt was trained at
     sample_size_t: int = 24                   # latent frames
     use_rope: bool = True
+    activation_fn: str = "gelu-approximate"  # checkpoint config value
     norm_eps: float = 1e-6
     interpolation_scale_t: Optional[float] = None
     interpolation_scale_h: Optional[float] = None
@@ -224,12 +225,18 @@ class V120Block(nn.Module):
             new_cache["cross"] = attn
         x = x + attn
 
-        # 3. FFN: norm2 + mlp modulation (:1430-1436), approximate-GELU 4x
+        # 3. FFN: norm2 + mlp modulation (:1430-1436); activation follows the
+        # checkpoint config (diffusers FeedForward semantics)
         nx = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_scale=False,
                           dtype=jnp.float32, name="norm2")(x).astype(cfg.dtype)
         nx = nx * (1 + scale_mlp) + shift_mlp
-        h = nn.Dense(4 * C, dtype=cfg.dtype, name="ff_in")(nx)
-        h = nn.gelu(h, approximate=True)
+        if cfg.activation_fn == "geglu":
+            hg = nn.Dense(8 * C, dtype=cfg.dtype, name="ff_in")(nx)
+            hidden, gate = jnp.split(hg, 2, axis=-1)
+            h = hidden * nn.gelu(gate, approximate=False)
+        else:  # gelu-approximate
+            h = nn.Dense(4 * C, dtype=cfg.dtype, name="ff_in")(nx)
+            h = nn.gelu(h, approximate=True)
         ff = nn.Dense(C, dtype=cfg.dtype, name="ff_out")(h)
         x = x + gate_mlp * ff
         return x, new_cache

@@ -488,7 +488,10 @@ class STDiT3(nn.Module):
         xo = t2i_modulate(normed, shift, scale_f)
         if x_mask is not None:
             mods0 = (table[None] + t0[:, None].astype(jnp.float32)).astype(cfg.dtype)
-            xo0 = t2i_modulate(normed, mods0[:, 0, None, None, :],
+            # reference quirk (T2IFinalLayer.forward :81-85): the t0 branch
+            # modulates norm_final(x) where x is ALREADY modulated — kept
+            # bit-for-bit for checkpoint parity (test_torch_parity.py)
+            xo0 = t2i_modulate(layer_norm(xo), mods0[:, 0, None, None, :],
                                mods0[:, 1, None, None, :])
             xo = t_mask_select(x_mask, xo, xo0)
         xo = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=cfg.dtype,
