@@ -118,3 +118,38 @@ def test_dsp_pipeline_equivalence_sp_vs_single():
                            aspect_ratio="1:1", num_frames=17, seed=11)
         diff = np.abs(out.video.astype(int) - out1.video.astype(int))
         assert diff.max() <= 1, (kwargs, diff.max())  # uint8 rounding only
+
+
+def test_set_distributed_state_env_parsing(monkeypatch):
+    """Env bootstrap parity with the reference set_distributed_state
+    (parallel_mgr.py:120-148): torchrun-style RANK/WORLD_SIZE and the
+    distributed-profile single-node rewrite."""
+    from videosys_tpu.core.parallel import set_distributed_state
+
+    for var in ("RANK", "WORLD_SIZE", "NODE_RANK", "NNODES", "MASTER_ADDR",
+                "OMPI_COMM_WORLD_RANK", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(var, raising=False)
+
+    # bare environment -> -1/-1 like the reference
+    assert set_distributed_state() == (-1, -1, 0, 1)
+
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "3")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "16")
+    monkeypatch.setenv("NNODES", "2")
+    assert set_distributed_state() == (3, 16, 0, 2)
+
+    # torchrun vars take precedence
+    monkeypatch.setenv("RANK", "5")
+    monkeypatch.setenv("WORLD_SIZE", "16")
+    monkeypatch.setenv("NODE_RANK", "1")
+    assert set_distributed_state() == (5, 16, 1, 2)
+
+    # distributed-profile rewrite: rank folded into the local device count
+    import jax
+    n = len(jax.devices())
+    rank, world, node_rank, node_size = set_distributed_state(
+        distributed_profile=True)
+    assert world == n and rank == 5 % n
+    assert node_rank == 5 // n and node_size == 16 // n
+    import os
+    assert os.environ["MASTER_ADDR"] == "localhost"

@@ -305,3 +305,53 @@ def test_dcp_profiler_reports_failures():
     # the sp=2 candidate still profiled successfully
     assert any(p.sp == 2 and p.fits for p in prof.results.values())
     assert "_failures" in prof.dump()
+
+
+def test_raw_video_training_through_vae(tmp_path):
+    """End-to-end raw-video training (VERDICT r1 #8): a video CSV trains
+    without preprocessing — frames are read, resize-cropped to the bucket,
+    encoded by the jitted VAE, and stepped (reference train.py:326-339)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+        OpenSoraVAE,
+        OpenSoraVAEConfig,
+    )
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
+    from videosys_tpu.models.transformers.stdit3 import STDiT3Config
+    from videosys_tpu.training.datasets import VariableVideoTextDataset
+    from videosys_tpu.training.train import TrainConfig, run_training
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for n in range(2):
+        vid_path = str(tmp_path / f"clip{n}.avi")
+        w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 8,
+                            (320, 180))
+        for _ in range(40):
+            w.write(rng.integers(0, 255, (180, 320, 3), dtype=np.uint8))
+        w.release()
+        rows.append({"path": vid_path, "text": "noise", "num_frames": 40,
+                     "height": 180, "width": 320})
+    csv = tmp_path / "data.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    vae = OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(block_out_channels=(8, 16), layers_per_block=1,
+                                num_groups=4),
+        temporal=VAETemporal(filters=8, num_res_blocks=1, num_groups=4))
+
+    ds = VariableVideoTextDataset(str(csv))
+    cfg = TrainConfig(
+        model=STDiT3Config(depth=1, hidden_size=32, num_heads=2,
+                           caption_channels=16, model_max_length=8),
+        bucket_config={"144p": {34: (1.0, 1)}},
+        mask_ratios=None, lr=1e-3, warmup_steps=1, max_steps=2, log_every=1,
+        seed=0)
+    state, ema, history = run_training(cfg, dataset=ds, vae=vae)
+    assert int(state.step) == 2
+    assert np.isfinite([h["loss"] for h in history]).all()

@@ -134,3 +134,37 @@ def test_vchitect_pipeline_pab():
     out = engine.generate("waves", num_inference_steps=6,
                           width=32, height=32, frames=4, seed=0)
     assert out.video.dtype == np.uint8
+
+
+def test_sd3_packing_shapes():
+    """pack_sd3_embeds mirrors the reference packing (pipeline_vchitect.py
+    :486-498): CLIP concat -> pad to T5 width -> seq concat; pooled concat."""
+    import jax.numpy as jnp
+
+    from videosys_tpu.models.text_encoders.clip import pack_sd3_embeds
+
+    B = 2
+    emb_l = jnp.ones((B, 77, 768))
+    emb_g = jnp.full((B, 77, 1280), 2.0)
+    t5 = jnp.full((B, 256, 4096), 3.0)
+    pool_l = jnp.ones((B, 768))
+    pool_g = jnp.ones((B, 1280))
+    embeds, pooled = pack_sd3_embeds(emb_l, pool_l, emb_g, pool_g, t5)
+    assert embeds.shape == (B, 77 + 256, 4096)
+    assert pooled.shape == (B, 2048)
+    # clip rows: [L | G | zero pad]
+    assert float(embeds[0, 0, 0]) == 1.0
+    assert float(embeds[0, 0, 768]) == 2.0
+    assert float(embeds[0, 0, 2048]) == 0.0
+    assert float(embeds[0, 77, 0]) == 3.0  # t5 rows
+
+
+def test_clip_wrapper_gated_offline():
+    """Without local weights the wrapper must raise cleanly (not hang on
+    network)."""
+    import pytest as _pytest
+
+    from videosys_tpu.models.text_encoders.clip import ClipTextEncoder
+
+    with _pytest.raises(Exception):
+        ClipTextEncoder("/nonexistent/Vchitect-2.0-2B")

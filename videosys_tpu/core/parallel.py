@@ -240,6 +240,45 @@ class MeshPool:
         return self._meshes[sp_size]
 
 
+def set_distributed_state(distributed_profile: bool = False):
+    """Environment bootstrap mirroring the reference `set_distributed_state`
+    (parallel_mgr.py:120-148): RANK/WORLD_SIZE (torchrun-style) or
+    OMPI_COMM_WORLD_* (OpenMPI) envs resolve (rank, world_size, node_rank,
+    node_size); ``distributed_profile`` rewrites a multi-node launch into
+    independent single-node instances for the fast DCP profile phase.
+
+    On TPU pods jax.distributed.initialize() auto-detects the topology, so
+    this is only needed when launching through a generic scheduler that
+    exports the torch-style variables. Returns the parsed tuple and, when a
+    coordinator is resolvable (MASTER_ADDR[:MASTER_PORT]) and world_size > 1,
+    initializes the JAX distributed runtime."""
+    import os
+
+    rank = int(os.getenv("RANK", os.getenv("OMPI_COMM_WORLD_RANK", "-1")))
+    world_size = int(os.getenv("WORLD_SIZE",
+                               os.getenv("OMPI_COMM_WORLD_SIZE", "-1")))
+    node_rank = int(os.getenv("NODE_RANK",
+                              os.getenv("OMPI_COMM_WORLD_NODE_RANK", "0")))
+    node_size = int(os.getenv("NNODES", "1"))
+
+    if distributed_profile and world_size > 0:
+        # one independent instance per node (fast profile, :128-146); each
+        # node profiles the bucket space locally with its own device count
+        device_count = max(1, len(jax.devices()))
+        node_rank = rank // device_count if device_count else 0
+        node_size = max(1, world_size // device_count)
+        rank, world_size = rank % device_count, device_count
+        os.environ.update(NNODES="1", NODE_RANK="0", RANK=str(rank),
+                          WORLD_SIZE=str(world_size), MASTER_ADDR="localhost")
+
+    master = os.getenv("MASTER_ADDR")
+    if world_size > 1 and master and not distributed_profile:
+        port = os.getenv("MASTER_PORT", "8476")
+        jax.distributed.initialize(coordinator_address=f"{master}:{port}",
+                                   num_processes=world_size, process_id=rank)
+    return rank, world_size, node_rank, node_size
+
+
 def initialize(rank: int = 0, world_size: int = 1,
                coordinator_address: str | None = None, seed: int | None = None):
     """Public-API parity with `videosys.initialize`

@@ -123,9 +123,25 @@ class VchitectXLPipeline(VideoSysPipeline):
                              or VchitectModelConfig(dtype=self.dtype))
         self.vae = vae or config.vae or AutoencoderKL2D(
             latent_channels=self.model_config.in_channels, dtype=self.dtype)
-        self.text_encoder = text_encoder or DualStubTextEncoder(
-            joint_dim=self.model_config.joint_attention_dim,
-            pooled_dim=self.model_config.pooled_projection_dim)
+        if text_encoder is not None:
+            self.text_encoder = text_encoder
+        else:
+            # real CLIP-L + CLIP-G + T5 trio when the checkpoint dir carries
+            # the text encoders (reference :287-399); offline stub otherwise
+            import os
+
+            if config.model_path and os.path.isdir(
+                    os.path.join(str(config.model_path), "text_encoder")):
+                from videosys_tpu.models.text_encoders.clip import (
+                    VchitectTripleTextEncoder,
+                )
+
+                self.text_encoder = VchitectTripleTextEncoder(
+                    str(config.model_path), dtype=self.dtype)
+            else:
+                self.text_encoder = DualStubTextEncoder(
+                    joint_dim=self.model_config.joint_attention_dim,
+                    pooled_dim=self.model_config.pooled_projection_dim)
         self.scheduler = FlowMatchEulerScheduler()
 
         self.params = params if params is not None else self._init_params(seed)

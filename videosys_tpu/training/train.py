@@ -78,9 +78,15 @@ class TrainConfig:
 
 
 def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
-                 planner=None):
+                 planner=None, vae=None, vae_params=None):
     """Train STDiT3 with rflow loss over bucketized variable-length batches.
     Returns (train_state, ema_params, metrics_history).
+
+    Raw-video mode: pass ``vae`` (+ its params) and a dataset exposing
+    `load_video(i, (T, H, W))` — each micro-batch is read from disk,
+    resize-cropped to the bucket shape, and encoded to latents by a jitted
+    per-bucket `vae.encode` before the train step (no grads through the VAE),
+    matching the reference's non-preprocessed path (train.py:326-339).
 
     Dynamic sequence parallelism (cfg.dynamic_sp): per-batch the loop selects
     the mesh matching the DCP plan's sp_size from a `MeshPool` — the TPU
@@ -149,6 +155,27 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
     global_step = 0
     state_placed = False
 
+    encode_fns: dict = {}
+    raw_video = vae is not None and hasattr(dataset, "load_video")
+    if vae is not None and vae_params is None:
+        vae_params = vae.init(jax.random.key(cfg.seed + 7))
+
+    def _load_micro_x(micro_idx, thw, lat_shape, rng_seed):
+        """Latents for one micro-batch: pre-encoded (preprocess flow) or raw
+        video through the jitted VAE encoder."""
+        if not raw_video:
+            return jnp.asarray(dataset.load_latents(
+                micro_idx, lat_shape, rng_seed=rng_seed))
+        T, H, W = thw
+        vids = np.stack([dataset.load_video(i, (T, H, W), seed=rng_seed)
+                         for i in micro_idx])
+        key = ("enc", T, H, W, len(micro_idx))
+        if key not in encode_fns:
+            encode_fns[key] = jax.jit(
+                lambda p, v, k: vae.encode(p, v, k))
+        return encode_fns[key](vae_params, jnp.asarray(vids),
+                               jax.random.fold_in(rng, rng_seed))
+
     def _plan_mesh(plan):
         if pool is not None:
             # largest pool sp <= the planned sp (pool is powers of two)
@@ -162,8 +189,13 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
         for plan in sampler:
             plan_mesh = _plan_mesh(plan)
             T, H, W = plan.thw
-            t_lat = max(1, T // 17 * 5) if T > 1 else 1
-            lat_shape = (t_lat, H // 8, W // 8)
+            if vae is not None:
+                t_lat, h_lat, w_lat = vae.get_latent_size((T, H, W))
+                lat_shape = (t_lat, h_lat, w_lat)
+            else:
+                # real Open-Sora VAE factors (17->5 temporal, 8x spatial)
+                t_lat = max(1, T // 17 * 5) if T > 1 else 1
+                lat_shape = (t_lat, H // 8, W // 8)
             micro_batches = plan.micro_batches()
             gas = len(micro_batches)
             mesh_key = (None if plan_mesh is None
@@ -200,10 +232,10 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             # ONCE per plan (profiler.py:824-834 boundary semantics)
             micros = []
             for k, micro_idx in enumerate(micro_batches):
-                # synthetic latents / text for the dummy dataset; real
-                # datasets supply pre-encoded latents (preprocess.py flow)
-                x = jnp.asarray(dataset.load_latents(
-                    micro_idx, lat_shape, rng_seed=global_step * gas + k))
+                # pre-encoded latents (preprocess.py flow), synthetic latents
+                # (dummy dataset), or raw video via the jitted VAE encoder
+                x = _load_micro_x(micro_idx, plan.thw, lat_shape,
+                                  rng_seed=global_step * gas + k)
                 if text_embed_fn is not None:
                     y, kv_mask = text_embed_fn(micro_idx)
                 else:
