@@ -355,3 +355,35 @@ def test_raw_video_training_through_vae(tmp_path):
     state, ema, history = run_training(cfg, dataset=ds, vae=vae)
     assert int(state.step) == 2
     assert np.isfinite([h["loss"] for h in history]).all()
+
+
+def test_sp_balance_training_executes_packed_steps():
+    """sp-balance mode packs plans of differing sp into GlobalSteps and the
+    loop EXECUTES them: grads accumulate across the packed plans and the
+    optimizer updates once per GlobalStep — the reference's packed-step
+    gradient (sampler.py:576-871 + the all-rank DeepSpeed reduce)."""
+    from videosys_tpu.models.transformers.stdit3 import STDiT3Config
+    from videosys_tpu.training.train import TrainConfig, run_training
+
+    profile = {
+        ("144p", 34, "1.00"): {"time": 0.2, "sp": 4},
+        ("144p", 1, "1.00"): {"time": 0.05, "sp": 1},
+    }
+    planner = DCPPlanner(profile=profile)
+
+    cfg = TrainConfig(
+        model=STDiT3Config(depth=1, hidden_size=32, num_heads=2,
+                           caption_channels=16, model_max_length=8),
+        bucket_config={"144p": {1: (1.0, 8), 34: (1.0, 8)}},
+        mask_ratios=None,
+        lr=1e-3, warmup_steps=1, max_steps=3, log_every=1,
+        dataset_size=48, seed=0,
+        dynamic_sp=True, sp_balance=True, dp_size=2, sp_size=4,
+    )
+    state, ema, history = run_training(cfg, planner=planner)
+    # optimizer stepped once per GlobalStep
+    assert int(state.step) == 3
+    assert all("packed_plans" in h for h in history)
+    # at least one step packed >1 plan (8 devices, sp=4 + sp=1 plans fit)
+    assert max(h["packed_plans"] for h in history) >= 2
+    assert np.isfinite([h["loss"] for h in history]).all()

@@ -69,6 +69,12 @@ class TrainConfig:
     seed: int = 42
     dataset_size: int = 64
     dynamic_sp: bool = False
+    # sp-balance: pack plans of differing sp into GlobalSteps (sampler.py
+    # :576-871); each packed step accumulates grads across its plans and the
+    # optimizer updates ONCE — the same gradient as the reference's
+    # concurrent rank groups + all-reduce (wall-clock concurrency is a
+    # scheduling detail; the math is the packed-step gradient)
+    sp_balance: bool = False
     dynamic_profile: bool = False
     ckpt_every: Optional[int] = None
     ckpt_dir: str = "./checkpoints"
@@ -184,23 +190,162 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             return pool.mesh_for_sp(sp)
         return mesh
 
+    def _lat_shape(plan):
+        T, H, W = plan.thw
+        if vae is not None:
+            return tuple(vae.get_latent_size((T, H, W)))
+        # real Open-Sora VAE factors (17->5 temporal, 8x spatial)
+        t_lat = max(1, T // 17 * 5) if T > 1 else 1
+        return (t_lat, H // 8, W // 8)
+
+    def _place_state():
+        nonlocal state, state_placed
+        if not state_placed:
+            # ZeRO-1 placement: replicated params, all-device-sharded
+            # moments; identical physical layout for every pool mesh
+            anchor = pool.mesh_for_sp(1) if pool is not None else mesh
+            if anchor is not None:
+                state = jax.device_put(state, zero1_shardings(anchor, state))
+            state_placed = True
+
+    def _build_batch(plan, plan_mesh, lat_shape, step_seed):
+        """gas micro-batches of DISTINCT samples (reference train.py:321-364
+        gas loop), stacked on a leading gas axis and placed on the plan's
+        mesh (batch over dp/cp; the model's constraints shard sp)."""
+        micro_batches = plan.micro_batches()
+        gas = len(micro_batches)
+        t_lat = lat_shape[0]
+        micros = []
+        for k, micro_idx in enumerate(micro_batches):
+            # pre-encoded latents (preprocess.py flow), synthetic latents
+            # (dummy dataset), or raw video via the jitted VAE encoder
+            x = _load_micro_x(micro_idx, plan.thw, lat_shape,
+                              rng_seed=step_seed * gas + k)
+            if text_embed_fn is not None:
+                y, kv_mask = text_embed_fn(micro_idx)
+            else:
+                y = jax.random.normal(
+                    jax.random.fold_in(rng, step_seed * gas + k),
+                    (len(micro_idx), 8, cfg.model.caption_channels))
+                kv_mask = jnp.ones((len(micro_idx), 8), bool)
+            mb = {"x": x, "y": y, "kv_mask": kv_mask,
+                  "fps": jnp.full((x.shape[0],), 24.0)}
+            if mask_gen is not None and t_lat > 1:
+                mb["mask"] = jnp.asarray(mask_gen(
+                    x.shape[0], t_lat, seed=cfg.seed + step_seed * gas + k))
+            micros.append(mb)
+        batch = (micros[0] if gas == 1
+                 else jax.tree.map(lambda *xs: jnp.stack(xs), *micros))
+        if plan_mesh is not None:
+            def _bsh(a):
+                spec = [None] * a.ndim
+                spec[1 if gas > 1 else 0] = par.BATCH_AXES
+                return jsh.NamedSharding(plan_mesh, jsh.PartitionSpec(*spec))
+
+            batch = {k: jax.device_put(v, _bsh(v)) for k, v in batch.items()}
+        return batch, gas
+
+    def _log_and_ckpt(epoch, plan, metrics, mesh_key, extra=None):
+        nonlocal global_step
+        global_step += 1
+        if global_step % cfg.log_every == 0:
+            loss = float(metrics["loss"])
+            entry = {"step": global_step, "loss": loss,
+                     "bucket": str(plan.bucket_id), "sp": plan.sp_size,
+                     "mesh": mesh_key}
+            entry.update(extra or {})
+            metrics_history.append(entry)
+            logger.info("step %d bucket=%s loss=%.4f sp=%s mesh=%s",
+                        global_step, plan.bucket_id, loss, plan.sp_size,
+                        mesh_key)
+        if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
+            ckpt_io.save(cfg.ckpt_dir, state, ema_params, epoch, global_step,
+                         sampler_state=sampler.state_dict(global_step))
+        return bool(cfg.max_steps and global_step >= cfg.max_steps)
+
+    if cfg.sp_balance:
+        from videosys_tpu.training.sampler import pack_global_steps
+        from videosys_tpu.training.train_step import (
+            make_apply_step,
+            make_grad_step,
+        )
+
+        n_dev = (len(pool._devices) if pool is not None
+                 else (int(np.prod(mesh.devices.shape)) if mesh is not None
+                       else 1))
+        grad_fns: dict = {}
+        apply_fn = None
+        profile = planner.profile if planner is not None else None
+        for epoch in range(cfg.epochs):
+            sampler.set_epoch(epoch)
+            gsteps = pack_global_steps(list(sampler), n_dev, profile)
+            for gstep in gsteps:
+                grads_acc = None
+                n_evals = 0
+                losses = []
+                for plan in gstep.plans:
+                    plan_mesh = _plan_mesh(plan)
+                    if plan_mesh is not None:
+                        _place_state()
+                    T, H, W = plan.thw
+                    lat_shape = _lat_shape(plan)
+                    mesh_key = (None if plan_mesh is None
+                                else tuple(plan_mesh.devices.shape))
+                    gkey = (plan.bucket_id, mesh_key)
+                    if gkey not in grad_fns:
+                        grad_fns[gkey] = jax.jit(make_grad_step(
+                            model, scheduler, float(H), float(W),
+                            num_frames=int(T)))
+                    gfn = grad_fns[gkey]
+                    batch, gas = _build_batch(plan, plan_mesh, lat_shape,
+                                              global_step + n_evals)
+                    micros = ([batch] if gas == 1 else [
+                        jax.tree.map(lambda a, i=i: a[i], batch)
+                        for i in range(gas)])
+                    for mb in micros:
+                        rng, skey = jax.random.split(rng)
+                        with par.use_mesh(plan_mesh) if plan_mesh is not None \
+                                else _null():
+                            loss, grads = gfn(state.params, skey, mb)
+                        losses.append(float(loss))
+                        grads_acc = grads if grads_acc is None else \
+                            jax.tree.map(jnp.add, grads_acc, grads)
+                        n_evals += 1
+                if grads_acc is None:
+                    continue
+                if apply_fn is None:
+                    anchor = pool.mesh_for_sp(1) if pool is not None else mesh
+                    if anchor is not None:
+                        rep = jsh.NamedSharding(anchor, jsh.PartitionSpec())
+                        apply_fn = jax.jit(
+                            make_apply_step(tx), donate_argnums=(0, 1),
+                            out_shardings=(zero1_shardings(anchor, state),
+                                           {"grad_norm": rep}))
+                    else:
+                        apply_fn = jax.jit(make_apply_step(tx),
+                                           donate_argnums=(0, 1))
+                state, metrics = apply_fn(state, grads_acc,
+                                          jnp.float32(n_evals))
+                metrics = dict(metrics, loss=float(np.mean(losses)))
+                ema_params = update_ema(
+                    ema_params, _model_params(state.params), cfg.ema_decay)
+                if _log_and_ckpt(epoch, gstep.plans[0], metrics,
+                                 "sp_balance",
+                                 extra={"packed_plans": len(gstep.plans),
+                                        "imbalance": gstep.imbalance}):
+                    return state, ema_params, metrics_history
+        return state, ema_params, metrics_history
+
     for epoch in range(cfg.epochs):
         sampler.set_epoch(epoch)
         for plan in sampler:
             plan_mesh = _plan_mesh(plan)
             T, H, W = plan.thw
-            if vae is not None:
-                t_lat, h_lat, w_lat = vae.get_latent_size((T, H, W))
-                lat_shape = (t_lat, h_lat, w_lat)
-            else:
-                # real Open-Sora VAE factors (17->5 temporal, 8x spatial)
-                t_lat = max(1, T // 17 * 5) if T > 1 else 1
-                lat_shape = (t_lat, H // 8, W // 8)
-            micro_batches = plan.micro_batches()
-            gas = len(micro_batches)
+            lat_shape = _lat_shape(plan)
+            gas = len(plan.micro_batches())
             mesh_key = (None if plan_mesh is None
                         else tuple(plan_mesh.devices.shape))
-            key = (plan.bucket_id, len(micro_batches[0]), gas, mesh_key)
+            key = (plan.bucket_id, len(plan.indices) // gas, gas, mesh_key)
             if key not in step_fns:
                 fn = make_train_step(
                     model, scheduler, tx, float(H), float(W),
@@ -219,73 +364,15 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                 else:
                     step_fns[key] = jax.jit(fn, donate_argnums=(0,))
             fn = step_fns[key]
-            if plan_mesh is not None and not state_placed:
-                # ZeRO-1 placement: replicated params, all-device-sharded
-                # moments; identical physical layout for every pool mesh
-                state = jax.device_put(
-                    state, zero1_shardings(plan_mesh, state))
-                state_placed = True
-
-            # gradient accumulation: gas micro-batches of DISTINCT
-            # samples (reference train.py:321-364 gas loop); grads are
-            # averaged inside the jitted step and the optimizer steps
-            # ONCE per plan (profiler.py:824-834 boundary semantics)
-            micros = []
-            for k, micro_idx in enumerate(micro_batches):
-                # pre-encoded latents (preprocess.py flow), synthetic latents
-                # (dummy dataset), or raw video via the jitted VAE encoder
-                x = _load_micro_x(micro_idx, plan.thw, lat_shape,
-                                  rng_seed=global_step * gas + k)
-                if text_embed_fn is not None:
-                    y, kv_mask = text_embed_fn(micro_idx)
-                else:
-                    y = jax.random.normal(
-                        jax.random.fold_in(rng, global_step * gas + k),
-                        (len(micro_idx), 8, cfg.model.caption_channels))
-                    kv_mask = jnp.ones((len(micro_idx), 8), bool)
-                mb = {"x": x, "y": y, "kv_mask": kv_mask,
-                      "fps": jnp.full((x.shape[0],), 24.0)}
-                if mask_gen is not None and t_lat > 1:
-                    mb["mask"] = jnp.asarray(mask_gen(
-                        x.shape[0], t_lat, seed=cfg.seed + global_step * gas + k))
-                micros.append(mb)
-            if gas == 1:
-                batch = micros[0]
-            else:
-                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
             if plan_mesh is not None:
-                # batch dim over (dp, cp) of the plan's mesh; the model's
-                # internal constraints shard the sequence over its sp
-                def _bsh(a):
-                    spec = [None] * a.ndim
-                    spec[1 if gas > 1 else 0] = par.BATCH_AXES
-                    return jsh.NamedSharding(plan_mesh,
-                                             jsh.PartitionSpec(*spec))
-
-                batch = {k: jax.device_put(v, _bsh(v))
-                         for k, v in batch.items()}
+                _place_state()
+            batch, gas = _build_batch(plan, plan_mesh, lat_shape, global_step)
             rng, skey = jax.random.split(rng)
             with par.use_mesh(plan_mesh) if plan_mesh is not None else _null():
                 state, metrics = fn(state, skey, batch)
             ema_params = update_ema(ema_params, _model_params(state.params),
                                     cfg.ema_decay)
-            global_step += 1
-
-            if global_step % cfg.log_every == 0:
-                loss = float(metrics["loss"])
-                metrics_history.append(
-                    {"step": global_step, "loss": loss,
-                     "bucket": str(plan.bucket_id),
-                     "sp": plan.sp_size,
-                     "mesh": mesh_key})
-                logger.info("step %d bucket=%s loss=%.4f sp=%s mesh=%s",
-                            global_step, plan.bucket_id, loss,
-                            plan.sp_size, mesh_key)
-            if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
-                ckpt_io.save(cfg.ckpt_dir, state, ema_params, epoch,
-                             global_step,
-                             sampler_state=sampler.state_dict(global_step))
-            if cfg.max_steps and global_step >= cfg.max_steps:
+            if _log_and_ckpt(epoch, plan, metrics, mesh_key):
                 return state, ema_params, metrics_history
     return state, ema_params, metrics_history
 

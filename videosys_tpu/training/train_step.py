@@ -116,6 +116,44 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
     return train_step
 
 
+def make_grad_step(model: STDiT3, scheduler: RFlowScheduler,
+                   height: float, width: float, num_frames: int):
+    """(params, rng, batch) -> (loss, grads): the gradient half of a step,
+    used by sp-balance mode (training/train.py) where the plans packed into
+    one GlobalStep accumulate grads before a single optimizer update —
+    numerically identical to the reference's concurrent packed step whose
+    DeepSpeed all-reduce spans every rank group (sampler.py:576-871 +
+    train.py:362-364)."""
+
+    def loss_fn(params, rng, batch):
+        def model_fn(x_t, t, **kw):
+            return model.apply(params, x_t, t, batch["y"],
+                               kv_mask=batch.get("kv_mask"),
+                               x_mask=batch.get("mask"),
+                               fps=batch["fps"], height=height, width=width)
+
+        losses = scheduler.training_losses(
+            model_fn, rng, batch["x"], mask=batch.get("mask"),
+            height=height, width=width, num_frames=num_frames)
+        return losses.mean()
+
+    return jax.value_and_grad(loss_fn)
+
+
+def make_apply_step(tx):
+    """(state, grads, n_plans) -> (state, metrics): averaged-grad optimizer
+    update closing one GlobalStep."""
+
+    def apply_step(state: TrainState, grads, n_plans):
+        grads = jax.tree.map(lambda g: g / n_plans, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(new_params, new_opt, state.step + 1),
+                {"grad_norm": optax.global_norm(grads)})
+
+    return apply_step
+
+
 def zero1_shardings(mesh, state: TrainState):
     """ZeRO-1: shard the AdamW moments on each tensor's largest divisible
     dimension; params stay replicated (matches DeepSpeed stage-1 semantics,
