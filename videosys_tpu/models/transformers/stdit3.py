@@ -239,11 +239,17 @@ class STDiT3DepthPair(nn.Module):
     """One (spatial, temporal) block pair — the scanned unit
     (STDiT3.forward :609-613 iterates these pairs).
 
-    carry = (x, mlp_carries) where mlp_carries holds the slim per-branch MLP
-    cache [n_cfg_blocks, B, T, S, C] (only the depths that ever cache MLP);
-    row access is gated by `lax.cond` on the per-depth flags so untouched
-    iterations pay no HBM traffic. scanned = (readable attn/cross slots,
-    per-depth row index, per-depth mlp save/use flags)."""
+    carry = (x, mlp_carries, write_carries):
+    * mlp_carries: slim per-branch MLP cache [n_cfg_blocks, B, T, S, C] (only
+      the depths that ever cache MLP); row access is gated by `lax.cond` on
+      the per-depth flags so untouched iterations pay no HBM traffic;
+    * write_carries: full-depth slots this step WRITES, updated in place at
+      the current depth — carrying them (instead of emitting scan-stacked
+      outputs) lets XLA alias the donated input buffers, so a write step
+      allocates no second copy of a multi-GiB slot (the stacked-output form
+      peaked +6.4 GiB at 2s/480p and OOM'd a 16 GiB v5e).
+    scanned = (readable attn/cross slots, depth index, per-depth MLP row
+    index, per-depth mlp save/use flags)."""
 
     config: STDiT3Config
     plan: PABStepPlan = PABStepPlan()
@@ -251,11 +257,12 @@ class STDiT3DepthPair(nn.Module):
 
     @nn.compact
     def __call__(self, carry, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask):
-        x, mlp_carries = carry
-        read_caches, row_idx, mlp_flags = scanned
+        x, mlp_carries, write_carries = carry
+        read_caches, depth_idx, row_idx, mlp_flags = scanned
         plan = self.plan
-        written = {}
         new_mlp_carries = {}
+        new_write_carries = {b: dict(slots)
+                             for b, slots in write_carries.items()}
 
         def run_branch(branch, temporal, x):
             cached = branch in mlp_carries
@@ -290,13 +297,15 @@ class STDiT3DepthPair(nn.Module):
                         c, new_row, row_idx, 0),
                     lambda c: c,
                     c)
-            if w:
-                written[branch] = w
+            for slot, val in w.items():
+                new_write_carries[branch][slot] = \
+                    jax.lax.dynamic_update_index_in_dim(
+                        write_carries[branch][slot], val, depth_idx, 0)
             return x
 
         x = run_branch("spatial", False, x)
         x = run_branch("temporal", True, x)
-        return (x, new_mlp_carries), written
+        return (x, new_mlp_carries, new_write_carries), ()
 
 
 class STDiT3(nn.Module):
@@ -434,11 +443,17 @@ class STDiT3(nn.Module):
         # without a cache pytree no PAB behavior is possible (e.g. init)
         plan = self.plan if pab_cache is not None else PABStepPlan()
         read_in: Dict[str, PABCache] = {}
+        write_carries: Dict[str, PABCache] = {}
         for branch in caches:
-            rd = {sl: caches[branch][sl] for sl in ("attn", "cross")
+            read_in[branch] = {
+                sl: caches[branch][sl] for sl in ("attn", "cross")
+                if sl in caches[branch]
+                and plan.slot_mode(branch, sl) == "read"}
+            wr = {sl: caches[branch][sl] for sl in ("attn", "cross")
                   if sl in caches[branch]
-                  and plan.slot_mode(branch, sl) == "read"}
-            read_in[branch] = rd
+                  and plan.slot_mode(branch, sl) == "write"}
+            if wr:
+                write_carries[branch] = wr
         mlp_active = plan.any_mlp
         mlp_carries = {}
         if mlp_active:
@@ -446,7 +461,8 @@ class STDiT3(nn.Module):
                 if "mlp" in caches[branch]:
                     mlp_carries[branch] = caches[branch]["mlp"]
         row_idx, mlp_flags = self._mlp_scan_arrays()
-        scanned = (read_in, row_idx, mlp_flags)
+        depth_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
+        scanned = (read_in, depth_idx, row_idx, mlp_flags)
 
         pair_cls = STDiT3DepthPair
         if self.remat:
@@ -463,15 +479,16 @@ class STDiT3(nn.Module):
             out_axes=0,
             length=cfg.depth,
         )
-        (xs, mlp_carries_out), written = ScanPairs(
+        (xs, mlp_carries_out, write_carries_out), _ = ScanPairs(
             config=cfg, plan=plan, cache_dtype=self._cache_dtype(),
             name="blocks",
-        )((xe, mlp_carries), scanned, y, t_mlp, t0_mlp, x_mask, kv_mask)
+        )((xe, mlp_carries, write_carries), scanned,
+          y, t_mlp, t0_mlp, x_mask, kv_mask)
 
-        # merge: written stacks override, MLP carries re-enter their slots,
-        # untouched slots pass through (aliased)
+        # merge: write carries and MLP carries re-enter their slots,
+        # untouched slots pass through (aliased by donation)
         new_caches = {b: dict(slots) for b, slots in caches.items()}
-        for branch, w in written.items():
+        for branch, w in write_carries_out.items():
             new_caches[branch].update(w)
         for branch, arr in mlp_carries_out.items():
             new_caches[branch]["mlp"] = arr
