@@ -387,3 +387,33 @@ def test_sp_balance_training_executes_packed_steps():
     # at least one step packed >1 plan (8 devices, sp=4 + sp=1 plans fit)
     assert max(h["packed_plans"] for h in history) >= 2
     assert np.isfinite([h["loss"] for h in history]).all()
+
+
+def test_video_transform_suite():
+    """The transform suite mirrors the reference set
+    (video_transforms.py:195-450 + utils.py get_transforms_video)."""
+    from videosys_tpu.training import video_transforms as VT
+
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 255, (4, 40, 60, 3), dtype=np.uint8)
+
+    out = VT.resize_crop_to_fill(clip, (32, 48))
+    assert out.shape == (4, 32, 48, 3)
+    out = VT.CenterCropResizeVideo((16, 16))(clip)
+    assert out.shape == (4, 16, 16, 3)
+    out = VT.UCFCenterCropVideo(24)(clip)
+    assert out.shape == (4, 24, 24, 3)
+    out = VT.RandomCropVideo((20, 20), rng=np.random.default_rng(1))(clip)
+    assert out.shape == (4, 20, 20, 3)
+    flipped = VT.RandomHorizontalFlipVideo(p=1.0)(clip)
+    np.testing.assert_array_equal(flipped, clip[:, :, ::-1])
+
+    tfm = VT.get_transforms_video("resize_crop", (32, 48))
+    out = tfm(clip)
+    assert out.shape == (4, 32, 48, 3) and out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    tfm = VT.get_transforms_video("center", (24, 24))
+    assert tfm(clip).shape == (4, 24, 24, 3)
+
+    begin, end = VT.TemporalRandomCrop(8, rng=np.random.default_rng(2))(30)
+    assert 0 <= begin and end - begin == 8 and end <= 30

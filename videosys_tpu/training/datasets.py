@@ -53,11 +53,13 @@ class VariableVideoTextDataset:
 
     def load_video(self, i: int, target_thw: Tuple[int, int, int],
                    frame_interval: int = 1, seed: int = 0) -> np.ndarray:
-        """Read + resize-crop to the bucket shape -> [C, T, H, W] in [-1, 1]
-        (read_video.py read_video_cv2 :213-248 + video_transforms.py
-        resize-crop + temporal_random_crop utils.py:76-86: a random
-        T*interval window, strided by frame_interval)."""
+        """Read + transform to the bucket shape -> [C, T, H, W] in [-1, 1]
+        (read_video.py read_video_cv2 :213-248 + the video_transforms suite;
+        temporal_random_crop utils.py:76-86 picks a random T*interval window
+        strided by frame_interval)."""
         import cv2
+
+        from videosys_tpu.training.video_transforms import get_transforms_video
 
         sample = self[i]
         T, H, W = target_thw
@@ -73,16 +75,17 @@ class VariableVideoTextDataset:
             if not ok:
                 break
             if idx in want:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                frames.append(_resize_crop(frame, H, W))
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             idx += 1
         cap.release()
         if not frames:
             raise IOError(f"cannot read {sample.path}")
         while len(frames) < T:
             frames.append(frames[-1])
-        video = np.stack(frames[:T]).astype(np.float32) / 127.5 - 1.0
-        return np.transpose(video, (3, 0, 1, 2))
+        clip = np.stack(frames[:T])  # [T, H, W, C] uint8
+        tfm = self.transform or get_transforms_video("resize_crop", (H, W))
+        video = tfm(clip)
+        return np.ascontiguousarray(np.transpose(video, (3, 0, 1, 2)))
 
 
 def temporal_random_crop(total: int, num_frames: int, frame_interval: int,
@@ -96,18 +99,6 @@ def temporal_random_crop(total: int, num_frames: int, frame_interval: int,
     if len(idx) == 0:
         idx = np.zeros((1,), np.int64)
     return idx
-
-
-def _resize_crop(img: np.ndarray, H: int, W: int) -> np.ndarray:
-    """Resize shorter side then center-crop (video_transforms.py semantics)."""
-    import cv2
-
-    h, w = img.shape[:2]
-    scale = max(H / h, W / w)
-    img = cv2.resize(img, (int(round(w * scale)), int(round(h * scale))))
-    h, w = img.shape[:2]
-    top, left = (h - H) // 2, (w - W) // 2
-    return img[top:top + H, left:left + W]
 
 
 class DummyVariableVideoTextDataset:
