@@ -417,3 +417,24 @@ def test_video_transform_suite():
 
     begin, end = VT.TemporalRandomCrop(8, rng=np.random.default_rng(2))(30)
     assert 0 <= begin and end - begin == 8 and end <= 30
+
+
+def test_watchdog_beats_and_detects_hang():
+    """Host-side heartbeat analog of the reference's Gloo hang watchdog
+    (parallel_mgr.py:58-80)."""
+    import time
+
+    from videosys_tpu.utils.watchdog import Watchdog
+
+    wd = Watchdog(interval=0.05, timeout=10.0)
+    with wd:
+        time.sleep(1.0)  # first beat pays the jit compile
+    assert wd.beats >= 1 and wd.hangs == 0
+
+    hangs = []
+    wd = Watchdog(interval=0.05, timeout=0.1,
+                  beat_fn=lambda: time.sleep(1.0),
+                  on_hang=lambda t: hangs.append(t))
+    with wd:
+        time.sleep(0.5)
+    assert hangs, "hang was not detected"
