@@ -33,7 +33,13 @@ def main(argv=None):
     ap.add_argument("--dp-size", type=int, default=1)
     ap.add_argument("--sp-size", type=int, default=1)
     ap.add_argument("--dynamic-sp", action="store_true")
+    ap.add_argument("--sp-balance", action="store_true",
+                    help="pack plans of differing sp into GlobalSteps "
+                         "(grads accumulate, one update per packed step)")
     ap.add_argument("--dynamic-profile", action="store_true")
+    ap.add_argument("--csv", default=None,
+                    help="video CSV (path,text,num_frames,height,width); "
+                         "trains from raw video through the VAE")
     ap.add_argument("--ckpt-every", type=int, default=None)
     ap.add_argument("--ckpt-dir", default="./checkpoints")
     ap.add_argument("--dataset-size", type=int, default=64)
@@ -65,14 +71,26 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, grad_clip=args.grad_clip,
         ema_decay=args.ema_decay, epochs=args.epochs, max_steps=args.max_steps,
         seed=args.seed, dp_size=args.dp_size, sp_size=args.sp_size,
-        dynamic_sp=args.dynamic_sp, dynamic_profile=args.dynamic_profile,
+        dynamic_sp=args.dynamic_sp, sp_balance=args.sp_balance,
+        dynamic_profile=args.dynamic_profile,
         ckpt_every=args.ckpt_every, ckpt_dir=args.ckpt_dir,
         dataset_size=args.dataset_size,
         bucket_config=({"144p": {1: (1.0, 2), 34: (1.0, 2)}} if args.tiny
                        else None) or TrainConfig().bucket_config,
         mask_ratios=None if args.tiny else TrainConfig().mask_ratios,
     )
-    state, ema, history = run_training(cfg)
+    dataset = None
+    vae = None
+    if args.csv:
+        from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+            OpenSoraVAE,
+            OpenSoraVAEConfig,
+        )
+        from videosys_tpu.training.datasets import VariableVideoTextDataset
+
+        dataset = VariableVideoTextDataset(args.csv)
+        vae = OpenSoraVAE(OpenSoraVAEConfig())
+    state, ema, history = run_training(cfg, dataset=dataset, vae=vae)
     return int(state.step), history
 
 

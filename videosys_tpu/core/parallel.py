@@ -292,6 +292,12 @@ def initialize(rank: int = 0, world_size: int = 1,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=world_size, process_id=rank)
     if seed is not None:
+        # host-side RNGs only: device-side randomness flows through explicit
+        # jax.random keys derived from each generate()/training seed argument
+        # (pipelines fold the seed; this does NOT set those)
+        import random as _random
+
         import numpy as _np
 
         _np.random.seed(seed)
+        _random.seed(seed)

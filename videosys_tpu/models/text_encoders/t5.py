@@ -36,6 +36,17 @@ class T5TextEncoder:
                                                         **kwargs)
         self.max_length = max_length
         self.output_dim = self.model.config.d_model
+        # traced encode: shapes are fixed (max_length padding), so this
+        # compiles once and removes the per-generate eager dispatch
+        module, params = self.model.module, self.model.params
+
+        @jax.jit
+        def _encode(input_ids, attention_mask):
+            return module.apply(
+                {"params": params}, input_ids=input_ids,
+                attention_mask=attention_mask).last_hidden_state
+
+        self._encode = _encode
 
     def encode(self, texts: Sequence[str]) -> Tuple[jax.Array, jax.Array]:
         tok = self.tokenizer(
@@ -47,12 +58,10 @@ class T5TextEncoder:
             add_special_tokens=True,
             return_tensors="np",
         )
-        out = self.model(
-            input_ids=jnp.asarray(tok["input_ids"]),
-            attention_mask=jnp.asarray(tok["attention_mask"]),
-        )
+        hidden = self._encode(jnp.asarray(tok["input_ids"]),
+                              jnp.asarray(tok["attention_mask"]))
         mask = jnp.asarray(tok["attention_mask"]).astype(bool)
-        return out.last_hidden_state, mask
+        return hidden, mask
 
 
 class StubTextEncoder:
