@@ -404,9 +404,13 @@ class OpenSoraPipeline(VideoSysPipeline):
                 z = jax.random.normal(
                     zkey, (B, self.vae.out_channels, t_lat, h_lat, w_lat),
                     jnp.float32)
-                z_np, mask = ms_mod.apply_mask_strategy(
-                    np.asarray(z), refs, strategies, loop_i, align=align)
-                z = jnp.asarray(z_np)
+                if any(s for s in strategies) or any(r for r in refs):
+                    # condition-frame path: host-side latent edit
+                    z_np, mask = ms_mod.apply_mask_strategy(
+                        np.asarray(z), refs, strategies, loop_i, align=align)
+                    z = jnp.asarray(z_np)
+                else:
+                    mask = None  # plain T2V: no device->host roundtrip
 
                 _t0 = _time.perf_counter()
                 cache = None
@@ -487,12 +491,16 @@ class OpenSoraPipeline(VideoSysPipeline):
         samples = jnp.concatenate(clips, axis=2) if len(clips) > 1 else clips[0]
 
         # --- postprocess (:648-652) ---------------------------------------- #
+        # uint8-convert ON DEVICE: the fp32 video is ~4x the bytes of the
+        # final uint8 frames, and device->host rides a slow link on remote
+        # TPU setups — transfer the small representation
+        _t0 = _time.perf_counter()
+        u8 = jnp.clip((jnp.clip(samples, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
+        u8 = jnp.transpose(u8, (0, 2, 3, 4, 1)).astype(jnp.uint8)
+        video = np.asarray(u8)  # [B, T, H, W, C]
         self.last_timings = {"text": _t_text, "denoise": _t_denoise,
-                             "vae": _t_vae}
-        video = np.asarray(samples, dtype=np.float32)
-        video = np.clip(video, -1, 1)
-        video = ((video + 1) / 2 * 255 + 0.5).clip(0, 255).astype(np.uint8)
-        video = np.transpose(video, (0, 2, 3, 4, 1))  # [B, T, H, W, C]
+                             "vae": _t_vae,
+                             "postprocess": _time.perf_counter() - _t0}
         if not return_dict:
             return (video,)
         return VideoSysPipelineOutput(video=video)
