@@ -229,10 +229,10 @@ class CogVideoXPipeline(VideoSysPipeline):
             lat = jnp.swapaxes(z, 1, 2) / self.vae.config.scaling_factor
             video = self.vae.decode(self.params["vae"], lat)
 
-        video = np.asarray(video, np.float32)
-        video = np.clip(video / 2 + 0.5, 0, 1)
-        video = (video * 255).round().astype(np.uint8)
-        video = np.transpose(video, (0, 2, 3, 4, 1))  # [B, T, H, W, C]
+        # uint8 on device: transfer 1/4 the bytes over the host link
+        video = jnp.round(jnp.clip(video / 2 + 0.5, 0, 1) * 255)
+        video = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(jnp.uint8)
+        video = np.asarray(video)  # [B, T, H, W, C]
         if not return_dict:
             return (video,)
         return VideoSysPipelineOutput(video=video)

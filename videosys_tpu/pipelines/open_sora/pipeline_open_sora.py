@@ -477,6 +477,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                             noise_added, nkey)
                 float(jnp.sum(z[..., :1]))  # force z; denoise phase boundary
                 _t_denoise += _time.perf_counter() - _t0
+                cache = None  # free PAB cache HBM before the VAE runs
                 _t0 = _time.perf_counter()
                 clip = self.vae.decode(self.params["vae"], z,
                                        num_frames=num_frames)

@@ -305,10 +305,10 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
                     z = self.scheduler.step(eps, i, z, key=nkey)
             video = self.vae.decode(self.params["vae"], z)
 
-        video = np.asarray(video, np.float32)
-        video = np.clip(video / 2 + 0.5, 0, 1)
-        video = (video * 255).astype(np.uint8)
-        video = np.transpose(video, (0, 2, 3, 4, 1))  # [B, T, H, W, C]
+        # uint8 on device: transfer 1/4 the bytes over the host link
+        video = jnp.clip(video / 2 + 0.5, 0, 1) * 255
+        video = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(jnp.uint8)
+        video = np.asarray(video)  # [B, T, H, W, C]
         video = video[:, :cfg.num_frames]
         if not return_dict:
             return (video,)
