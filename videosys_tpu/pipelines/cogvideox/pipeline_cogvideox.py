@@ -230,6 +230,7 @@ class CogVideoXPipeline(VideoSysPipeline):
             video = self.vae.decode(self.params["vae"], lat)
 
         # uint8 on device: transfer 1/4 the bytes over the host link
+        video = video.astype(jnp.float32)
         video = jnp.round(jnp.clip(video / 2 + 0.5, 0, 1) * 255)
         video = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(jnp.uint8)
         video = np.asarray(video)  # [B, T, H, W, C]

@@ -220,6 +220,7 @@ class LattePipeline(VideoSysPipeline):
 
         # uint8 on device: transfer 1/4 the bytes over the host link
         video = jnp.reshape(video, (B, video_length) + video.shape[1:])
+        video = video.astype(jnp.float32)
         video = (jnp.clip(video / 2 + 0.5, 0, 1) * 255).astype(jnp.uint8)
         video = np.asarray(video)
         if not return_dict:

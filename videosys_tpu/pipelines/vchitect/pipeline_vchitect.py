@@ -261,6 +261,7 @@ class VchitectXLPipeline(VideoSysPipeline):
                 self.params["vae"], lat.astype(self.dtype))
 
         # uint8 on device: transfer 1/4 the bytes over the host link
+        video = video.astype(jnp.float32)
         video = (jnp.clip(video / 2 + 0.5, 0, 1) * 255).astype(jnp.uint8)
         video = np.asarray(video)[None]  # [1, F, H, W, C]
         if not return_dict:
