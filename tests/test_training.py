@@ -376,12 +376,12 @@ def test_sp_balance_training_executes_packed_steps():
                            caption_channels=16, model_max_length=8),
         bucket_config={"144p": {1: (1.0, 8), 34: (1.0, 8)}},
         mask_ratios=None,
-        lr=1e-3, warmup_steps=1, max_steps=3, log_every=1,
+        lr=1e-3, warmup_steps=1, epochs=3, max_steps=3, log_every=1,
         dataset_size=48, seed=0,
         dynamic_sp=True, sp_balance=True, dp_size=2, sp_size=4,
     )
     state, ema, history = run_training(cfg, planner=planner)
-    # optimizer stepped once per GlobalStep
+    # optimizer stepped once per GlobalStep (>=1 packed step per epoch)
     assert int(state.step) == 3
     assert all("packed_plans" in h for h in history)
     # at least one step packed >1 plan (8 devices, sp=4 + sp=1 plans fit)

@@ -121,12 +121,15 @@ def _single_pass_kernel(
 ):
     """Whole-KV-in-VMEM attention (no online-softmax bookkeeping). Measured
     ~1.6x the blocked kernel at DiT shapes (Nk ~ 1.6k): the per-kv-block
-    fp32 scratch rescale is the blocked path's bottleneck, not the MXU."""
+    fp32 scratch rescale is the blocked path's bottleneck, not the MXU.
+
+    The softmax scale is absorbed into q by the wrapper pre-multiplied with
+    log2(e), so the kernel uses exp2 (one transcendental, no extra VPU
+    multiply over the [bq, Nk] score matrix)."""
     s = jax.lax.dot_general(
         q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [block_q, Nkp]
-    s *= scale
+    )  # [block_q, Nkp], already scaled by scale*log2(e) via q
     Nkp = s.shape[-1]
     if Nkp != kv_seq_len or mask_ref is not None:
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -136,13 +139,15 @@ def _single_pass_kernel(
             valid = jnp.logical_and(valid, mask_ref[pl.ds(batch, 1), :])
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = jax.lax.dot_general(
+    pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    # normalize AFTER the PV matmul: dividing [bq, D] instead of [bq, Nk]
+    # is ~Nk/D fewer VPU element-ops
+    o_ref[...] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
 # Whole-KV mode engages when the padded KV row fits VMEM comfortably:
@@ -171,13 +176,26 @@ def _flash_attention_fwd_impl(
     block_q = min(block_q, _round_up(Nq, _LANES))
     block_kv = min(block_kv, _round_up(Nk, _LANES))
     single_pass = Nk <= SINGLE_PASS_MAX_KV
+    Dp = _round_up(D, _LANES)
     if single_pass:
         block_kv = _round_up(Nk, _LANES)
+        # grow the q block while the VMEM working set (fp32 scores + k/v +
+        # q/o) stays comfortable: fewer program invocations amortize fixed
+        # per-program cost (measured best at whole-Nq for DiT shapes)
+        for cand in (_round_up(Nq, _LANES), 1024, 512, block_q):
+            vmem = (cand * block_kv * 4 + 2 * block_kv * Dp * 2
+                    + 2 * cand * Dp * 4)
+            if vmem <= (10 << 20):
+                block_q = max(block_q, cand) if cand >= block_q else cand
+                block_q = cand
+                break
 
-    Dp = _round_up(D, _LANES)
     Nqp = _round_up(Nq, block_q)
     Nkp = _round_up(Nk, block_kv)
 
+    if single_pass:
+        # absorb softmax scale (and the exp->exp2 base change) into q
+        q = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Nqp - Nq), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
