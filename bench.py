@@ -64,7 +64,20 @@ def _psnr(a, b):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent XLA compile cache: the warmup generate compiles ~10 programs
+    # (per-plan PAB variants); caching them makes repeat benches start fast
+    cache_dir = os.environ.get("VIDEOSYS_BENCH_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from videosys_tpu import OpenSoraConfig, VideoSysEngine
 
