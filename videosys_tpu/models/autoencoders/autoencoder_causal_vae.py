@@ -564,8 +564,12 @@ class CausalVAE:
             self.tile_overlap_factor = overlap_factor
 
     def init(self, rng, sample_t: int = 1, sample_hw: int = 32) -> dict:
-        x = jnp.zeros((1, sample_t, sample_hw, sample_hw, 3), self.config.dtype)
-        return self.module.init(rng, x)
+        def build(rng):
+            x = jnp.zeros((1, sample_t, sample_hw, sample_hw, 3),
+                          self.config.dtype)
+            return self.module.init(rng, x)
+
+        return jax.jit(build)(rng)  # single cacheable init program
 
     def get_latent_size(self, input_size: Sequence[int]) -> Tuple[int, int, int]:
         T, H, W = input_size

@@ -274,15 +274,18 @@ class AutoencoderKLCogVideoX:
         self.use_tiling = True
 
     def init(self, rng) -> dict:
-        k1, k2 = jax.random.split(rng)
-        t = self.config.temporal_compression_ratio
-        s = self.spatial_factor
-        p_e = self.encoder.init(k1, jnp.zeros((1, t + 1, s * 2, s * 2, 3),
-                                              self.config.dtype))
-        p_d = self.decoder.init(k2, jnp.zeros((1, 2, 2, 2,
-                                               self.config.latent_channels),
-                                              self.config.dtype))
-        return {"encoder": p_e, "decoder": p_d}
+        def build(rng):
+            k1, k2 = jax.random.split(rng)
+            t = self.config.temporal_compression_ratio
+            s = self.spatial_factor
+            p_e = self.encoder.init(k1, jnp.zeros((1, t + 1, s * 2, s * 2, 3),
+                                                  self.config.dtype))
+            p_d = self.decoder.init(k2, jnp.zeros((1, 2, 2, 2,
+                                                   self.config.latent_channels),
+                                                  self.config.dtype))
+            return {"encoder": p_e, "decoder": p_d}
+
+        return jax.jit(build)(rng)  # single cacheable init program
 
     # ------------------------------------------------------------------ #
     def encode(self, params, x: jax.Array, rng) -> jax.Array:

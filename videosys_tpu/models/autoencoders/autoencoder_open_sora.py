@@ -60,13 +60,18 @@ class OpenSoraVAE:
 
     # ------------------------------------------------------------------ #
     def init(self, rng) -> dict:
-        k1, k2 = jax.random.split(rng)
-        dummy_img = jnp.zeros((1, 32, 32, 3), self.config.dtype)
-        dummy_lat2d = jnp.zeros((1, 5, 4, 4, self.config.latent_channels),
-                                self.config.dtype)
-        p_s = self.spatial.init(k1, dummy_img, k1)
-        p_t = self.temporal.init(k2, dummy_lat2d, k2)
-        return {"spatial": p_s, "temporal": p_t}
+        def build(rng):
+            k1, k2 = jax.random.split(rng)
+            dummy_img = jnp.zeros((1, 32, 32, 3), self.config.dtype)
+            dummy_lat2d = jnp.zeros((1, 5, 4, 4, self.config.latent_channels),
+                                    self.config.dtype)
+            p_s = self.spatial.init(k1, dummy_img, k1)
+            p_t = self.temporal.init(k2, dummy_lat2d, k2)
+            return {"spatial": p_s, "temporal": p_t}
+
+        # one jitted (persistently cacheable) program instead of op-by-op
+        # eager dispatch — see utils/jit.jit_init
+        return jax.jit(build)(rng)
 
     def get_latent_size(self, input_size: Tuple[int, int, int]) -> list:
         """(T, H, W) pixels -> latent sizes (VideoAutoencoderPipeline

@@ -123,6 +123,7 @@ class CogVideoXPipeline(VideoSysPipeline):
 
     def _init_params(self, seed: int) -> dict:
         from videosys_tpu.utils.checkpoint import require_weights, try_load_params
+        from videosys_tpu.utils.jit import jit_init
 
         loaded = try_load_params(self._config, family="cogvideox",
                                  default_depth=30) or {}
@@ -132,8 +133,9 @@ class CogVideoXPipeline(VideoSysPipeline):
         dummy_x = jnp.zeros((1, 2, mc.in_channels, 2 * mc.patch_size,
                              2 * mc.patch_size), jnp.float32)
         dummy_enc = jnp.zeros((1, 4, mc.text_embed_dim), jnp.float32)
-        p_t = loaded.get("transformer") or model.init(
-            jax.random.key(seed), dummy_x, dummy_enc, jnp.zeros((1,)))
+        p_t = loaded.get("transformer") or jit_init(
+            model.init, jax.random.key(seed), dummy_x, dummy_enc,
+            jnp.zeros((1,)))
         p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
         return {"transformer": p_t, "vae": p_v}
 

@@ -116,6 +116,7 @@ class LattePipeline(VideoSysPipeline):
 
     def _init_params(self, seed: int) -> dict:
         from videosys_tpu.utils.checkpoint import require_weights, try_load_params
+        from videosys_tpu.utils.jit import jit_init
 
         loaded = try_load_params(self._config, family="latte") or {}
         require_weights(loaded, self._config)
@@ -123,12 +124,12 @@ class LattePipeline(VideoSysPipeline):
         model = LatteT2V(mc)
         dummy_x = jnp.zeros((1, mc.in_channels, 2, 2 * mc.patch_size,
                              2 * mc.patch_size), jnp.float32)
-        p_t = loaded.get("transformer") or model.init(
-            jax.random.key(seed), dummy_x, jnp.zeros((1,)),
+        p_t = loaded.get("transformer") or jit_init(
+            model.init, jax.random.key(seed), dummy_x, jnp.zeros((1,)),
             jnp.zeros((1, 4, mc.caption_channels)))
-        p_v = loaded.get("vae") or self.vae.init(
-            jax.random.key(seed + 1), jnp.zeros((1, 16, 16, 3), jnp.float32),
-            jax.random.key(0))
+        p_v = loaded.get("vae") or jit_init(
+            self.vae.init, jax.random.key(seed + 1),
+            jnp.zeros((1, 16, 16, 3), jnp.float32), jax.random.key(0))
         return {"transformer": p_t, "vae": p_v}
 
     def _get_step_fn(self, plan, guidance_scale: float, a_t: float, a_prev: float):

@@ -165,6 +165,7 @@ class OpenSoraPipeline(VideoSysPipeline):
         path that doesn't resolve raises, like the reference's
         from_pretrained (pipeline_open_sora.py:211-229)."""
         from videosys_tpu.utils.checkpoint import try_load_params
+        from videosys_tpu.utils.jit import jit_init
 
         loaded = try_load_params(self._config) or {}
         mc = self.model_config
@@ -186,8 +187,8 @@ class OpenSoraPipeline(VideoSysPipeline):
             dummy_x = jnp.zeros((1, mc.in_channels, 2, 8, 8), jnp.float32)
             dummy_t = jnp.zeros((1,), jnp.float32)
             dummy_y = jnp.zeros((1, 4, mc.caption_channels), jnp.float32)
-            params["transformer"] = model.init(
-                jax.random.key(seed), dummy_x, dummy_t, dummy_y,
+            params["transformer"] = jit_init(
+                model.init, jax.random.key(seed), dummy_x, dummy_t, dummy_y,
                 height=64.0, width=64.0)
         if "vae" not in params:
             params["vae"] = self.vae.init(jax.random.key(seed + 1))

@@ -176,6 +176,7 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
     # ---------------------------------------------------------------------- #
     def _init_params(self, seed: int) -> dict:
         from videosys_tpu.utils.checkpoint import require_weights, try_load_params
+        from videosys_tpu.utils.jit import jit_init
 
         family = "latte" if self.version == "v110" else "osp_v120"
         loaded = try_load_params(self._config, family=family,
@@ -190,12 +191,13 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         p = mc.patch_size
         dummy_x = jnp.zeros((1, mc.in_channels, 2, 2 * p, 2 * p), jnp.float32)
         if self.version == "v110":
-            p_t = model.init(jax.random.key(seed), dummy_x, jnp.zeros((1,)),
-                             jnp.zeros((1, 4, mc.caption_channels)))
+            p_t = jit_init(model.init, jax.random.key(seed), dummy_x,
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 4, mc.caption_channels)))
         else:
-            p_t = model.init(jax.random.key(seed), dummy_x,
-                             jnp.zeros((1, 4, mc.caption_channels)),
-                             jnp.zeros((1,)))
+            p_t = jit_init(model.init, jax.random.key(seed), dummy_x,
+                           jnp.zeros((1, 4, mc.caption_channels)),
+                           jnp.zeros((1,)))
         p_v = self.vae.init(jax.random.key(seed + 1))
         return {"transformer": p_t, "vae": p_v}
 

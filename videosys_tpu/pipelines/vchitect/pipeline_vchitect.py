@@ -149,6 +149,7 @@ class VchitectXLPipeline(VideoSysPipeline):
 
     def _init_params(self, seed: int) -> dict:
         from videosys_tpu.utils.checkpoint import require_weights, try_load_params
+        from videosys_tpu.utils.jit import jit_init
 
         loaded = try_load_params(self._config, family="vchitect",
                                  default_depth=18) or {}
@@ -157,13 +158,13 @@ class VchitectXLPipeline(VideoSysPipeline):
         model = VchitectXLTransformer(mc)
         p = mc.patch_size
         dummy = jnp.zeros((1, 2, mc.in_channels, 2 * p, 2 * p), jnp.float32)
-        p_t = loaded.get("transformer") or model.init(
-            jax.random.key(seed), dummy,
+        p_t = loaded.get("transformer") or jit_init(
+            model.init, jax.random.key(seed), dummy,
             jnp.zeros((1, 4, mc.joint_attention_dim)),
             jnp.zeros((1, mc.pooled_projection_dim)), jnp.zeros((1,)))
-        p_v = loaded.get("vae") or self.vae.init(
-            jax.random.key(seed + 1), jnp.zeros((1, 16, 16, 3), jnp.float32),
-            jax.random.key(0))
+        p_v = loaded.get("vae") or jit_init(
+            self.vae.init, jax.random.key(seed + 1),
+            jnp.zeros((1, 16, 16, 3), jnp.float32), jax.random.key(0))
         return {"transformer": p_t, "vae": p_v}
 
     def _get_v_fn(self, plan):

@@ -378,8 +378,11 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
 
 
 def _init_params(model, cfg, batch):
-    return model.init(jax.random.key(cfg.seed), batch["x"], jnp.zeros((batch["x"].shape[0],)),
-                      batch["y"], fps=batch["fps"], height=64.0, width=64.0)
+    from videosys_tpu.utils.jit import jit_init
+
+    return jit_init(model.init, jax.random.key(cfg.seed), batch["x"],
+                    jnp.zeros((batch["x"].shape[0],)), batch["y"],
+                    fps=batch["fps"], height=64.0, width=64.0)
 
 
 def _model_params(params):
