@@ -28,7 +28,8 @@ def _vae(tiny: bool):
         return {}
     from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
 
-    return {"vae": AutoencoderKL2D(block_out_channels=(8, 16),
+    return {"vae": AutoencoderKL2D(mid_block_add_attention=False,
+                        block_out_channels=(8, 16),
                                    layers_per_block=1, num_groups=4)}
 
 

@@ -32,7 +32,8 @@ def _tiny_vae():
 
     return OpenSoraVAE(
         OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
-        spatial=AutoencoderKL2D(block_out_channels=(8, 16), layers_per_block=1,
+        spatial=AutoencoderKL2D(mid_block_add_attention=False,
+                        block_out_channels=(8, 16), layers_per_block=1,
                                 num_groups=4),
         temporal=VAETemporal(filters=8, num_res_blocks=1, num_groups=4))
 

@@ -15,7 +15,8 @@ def _config(tiny: bool, **kw):
         transformer_config=VchitectModelConfig(
             num_layers=2, num_heads=2, head_dim=16, joint_attention_dim=32,
             pooled_projection_dim=24, sample_size=8, pos_embed_max_size=12),
-        vae=AutoencoderKL2D(latent_channels=16, block_out_channels=(8, 16),
+        vae=AutoencoderKL2D(mid_block_add_attention=False,
+                        latent_channels=16, block_out_channels=(8, 16),
                             layers_per_block=1, num_groups=4), **kw)
 
 

@@ -108,7 +108,8 @@ def test_latte_pipeline_generate():
 
     cfg = LatteConfig(model_path=None, dtype="fp32",
                       transformer_config=TINY)
-    vae = AutoencoderKL2D(block_out_channels=(8, 16), layers_per_block=1,
+    vae = AutoencoderKL2D(mid_block_add_attention=False,
+                        block_out_channels=(8, 16), layers_per_block=1,
                           num_groups=4)
     pipe = LattePipeline(cfg, vae=vae)
     out = pipe.generate("a cat", num_inference_steps=2, video_length=4,

@@ -116,7 +116,8 @@ def _tiny_pipeline_cfg(**kw):
     return VchitectConfig(
         dtype="fp32",
         transformer_config=tiny_cfg(),
-        vae=AutoencoderKL2D(latent_channels=16, block_out_channels=(8, 16),
+        vae=AutoencoderKL2D(mid_block_add_attention=False,
+                        latent_channels=16, block_out_channels=(8, 16),
                             layers_per_block=1, num_groups=4), **kw)
 
 

@@ -62,6 +62,10 @@ class Encoder2D(nn.Module):
     latent_channels: int = 4
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    # diffusers AutoencoderKL `mid_block_add_attention`; the full bottleneck
+    # self-attention is O(S^2) — tiny test VAEs (one downsample -> large S)
+    # turn it off
+    mid_block_add_attention: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -76,7 +80,8 @@ class Encoder2D(nn.Module):
                 h = nn.Conv(c, (3, 3), strides=2, padding="VALID",
                             dtype=self.dtype, name=f"down_{i}_downsample")(h)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_0")(h)
-        h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
+        if self.mid_block_add_attention:
+            h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_1")(h)
         h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
@@ -90,13 +95,15 @@ class Decoder2D(nn.Module):
     out_channels: int = 3
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    mid_block_add_attention: bool = True
 
     @nn.compact
     def __call__(self, z):
         ch = self.block_out_channels
         h = nn.Conv(ch[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_0")(h)
-        h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
+        if self.mid_block_add_attention:
+            h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_1")(h)
         for i, c in enumerate(reversed(ch)):
             for j in range(self.layers_per_block + 1):
@@ -122,14 +129,17 @@ class AutoencoderKL2D(nn.Module):
     out_channels: int = 3
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    mid_block_add_attention: bool = True
 
     def setup(self):
         self.encoder = Encoder2D(self.block_out_channels, self.layers_per_block,
                                  self.latent_channels, self.num_groups,
-                                 dtype=self.dtype)
+                                 dtype=self.dtype,
+                                 mid_block_add_attention=self.mid_block_add_attention)
         self.decoder = Decoder2D(self.block_out_channels, self.layers_per_block,
                                  self.out_channels, self.num_groups,
-                                 dtype=self.dtype)
+                                 dtype=self.dtype,
+                                 mid_block_add_attention=self.mid_block_add_attention)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype)
 
