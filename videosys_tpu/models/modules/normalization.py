@@ -38,12 +38,23 @@ class RMSNorm(nn.Module):
 
 def layer_norm(x, eps: float = 1e-6):
     """Affine-free LayerNorm with fp32 statistics (nn.LayerNorm(eps=1e-6,
-    elementwise_affine=False) in the reference blocks)."""
+    elementwise_affine=False) in the reference blocks).
+
+    Row statistics run on the MXU (x @ ones) rather than as a cross-lane
+    VPU reduce over the minor C axis — the reduce fusion measured 36 GB/s
+    effective on v5e. Two-pass (mean, then centered second moment) for
+    numerical stability; fp32 accumulation either way."""
+    import jax
+
     dtype = x.dtype
+    C = x.shape[-1]
+    ones = jnp.ones((C, 1), jnp.float32)
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return ((xf - mean) * (var + eps) ** -0.5).astype(dtype)
+    mean = jax.lax.dot_general(xf, ones, (((x.ndim - 1,), (0,)), ((), ()))) / C
+    cen = xf - mean
+    var = jax.lax.dot_general(cen * cen, ones,
+                              (((x.ndim - 1,), (0,)), ((), ()))) / C
+    return (cen * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
 def t2i_modulate(x, shift, scale):
@@ -62,9 +73,18 @@ def rms_norm_heads(x, weight, num_heads: int, eps: float = 1e-6):
 
     B, N, C = x.shape
     D = C // num_heads
+    # Per-head mean-square via the MXU instead of a cross-lane reduce over
+    # the badly-tiled D=72 minor: (x^2) @ block-indicator [C, H] sums each
+    # head's channels (fp32 accumulation); the inverse map [H, C] broadcasts
+    # the rsqrt scale back to channel layout. Both matmuls are ~3.5 GFLOP at
+    # DiT shapes — free next to the saved fp32 round-trips.
+    blocks = jnp.equal(jnp.arange(C)[:, None] // D,
+                       jnp.arange(num_heads)[None, :])
     xf = x.astype(jnp.float32)
-    ms = jnp.mean(xf.reshape(B, N, num_heads, D) ** 2, axis=-1)  # [B, N, H]
-    scale = jax.lax.rsqrt(ms + eps)
-    scale = jnp.repeat(scale, D, axis=-1)  # [B, N, C]
+    sq = jax.lax.dot_general(xf * xf, blocks.astype(jnp.float32),
+                             (((2,), (0,)), ((), ())))  # [B, N, H]
+    scale = jax.lax.rsqrt(sq / D + eps)
+    scale_c = jax.lax.dot_general(scale, blocks.astype(jnp.float32).T,
+                                  (((2,), (0,)), ((), ())))  # [B, N, C]
     w = jnp.tile(weight.astype(jnp.float32), num_heads)  # [C]
-    return (xf * scale * w).astype(x.dtype)
+    return (xf * (scale_c * w)).astype(x.dtype)
