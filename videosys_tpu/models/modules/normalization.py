@@ -38,23 +38,14 @@ class RMSNorm(nn.Module):
 
 def layer_norm(x, eps: float = 1e-6):
     """Affine-free LayerNorm with fp32 statistics (nn.LayerNorm(eps=1e-6,
-    elementwise_affine=False) in the reference blocks).
-
-    Row statistics run on the MXU (x @ ones) rather than as a cross-lane
-    VPU reduce over the minor C axis — the reduce fusion measured 36 GB/s
-    effective on v5e. Two-pass (mean, then centered second moment) for
-    numerical stability; fp32 accumulation either way."""
-    import jax
-
+    elementwise_affine=False) in the reference blocks). (A dot-with-ones
+    MXU formulation of the stats measured identical step time — XLA
+    canonicalizes it back to the same reduce — so this stays simple.)"""
     dtype = x.dtype
-    C = x.shape[-1]
-    ones = jnp.ones((C, 1), jnp.float32)
     xf = x.astype(jnp.float32)
-    mean = jax.lax.dot_general(xf, ones, (((x.ndim - 1,), (0,)), ((), ()))) / C
-    cen = xf - mean
-    var = jax.lax.dot_general(cen * cen, ones,
-                              (((x.ndim - 1,), (0,)), ((), ()))) / C
-    return (cen * jax.lax.rsqrt(var + eps)).astype(dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * (var + eps) ** -0.5).astype(dtype)
 
 
 def t2i_modulate(x, shift, scale):

@@ -179,14 +179,16 @@ def _flash_attention_fwd_impl(
     Dp = _round_up(D, _LANES)
     if single_pass:
         block_kv = _round_up(Nk, _LANES)
-        # grow the q block while the VMEM working set (fp32 scores + k/v +
-        # q/o) stays comfortable: fewer program invocations amortize fixed
-        # per-program cost (measured best at whole-Nq for DiT shapes)
-        for cand in (_round_up(Nq, _LANES), 1024, 512, block_q):
+        # Fewest q blocks whose VMEM working set (fp32 scores + k/v + q/o)
+        # fits, then size the block to the actual Nq: a fixed 1024 block
+        # padded Nq=1590 to 2048 (29% wasted MXU rows); splitting into two
+        # 800-row blocks pads only to 1600. Blocks stay multiples of 16
+        # (bf16 sublane tiling).
+        for nblocks in range(1, 1 + _round_up(Nq, 16) // 16):
+            cand = _round_up(-(-Nq // nblocks), 16)
             vmem = (cand * block_kv * 4 + 2 * block_kv * Dp * 2
                     + 2 * cand * Dp * 4)
             if vmem <= (10 << 20):
-                block_q = max(block_q, cand) if cand >= block_q else cand
                 block_q = cand
                 break
 
