@@ -211,6 +211,10 @@ class STDiT3Block(nn.Module):
                 hidden_features=int(cfg.hidden_size * cfg.mlp_ratio),
                 out_features=cfg.hidden_size, dtype=cfg.dtype, name="mlp",
             )(x_m)
+            # keep the gate/residual epilogue OUT of the fc2 matmul fusion:
+            # the kOutput fusion drops the fc2 emitter to ~45% MFU
+            # (measured step 1.381 -> 1.356 s at 2s/480p on v5e)
+            x_m = jax.lax.optimization_barrier(x_m)
             x_m_s = gate_mlp * x_m
             if x_mask is not None:
                 x_m_s = t_mask_select(x_mask, x_m_s, gate_mlp0 * x_m)
