@@ -32,6 +32,8 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from videosys_tpu.models.modules.normalization import GroupNormMXU
 import numpy as np
 
 
@@ -91,7 +93,7 @@ def _groups(c: int) -> int:
 
 
 def _group_norm(x):
-    return nn.GroupNorm(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
+    return GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
                         dtype=jnp.float32,
                         name="norm")(x.astype(jnp.float32)).astype(x.dtype)
 
@@ -106,12 +108,12 @@ class ResnetBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
         h = _swish(h)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm2")(h.astype(jnp.float32)).astype(h.dtype)
         h = _swish(h)
@@ -131,12 +133,12 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
         h = _swish(h)
         h = Conv2dOp(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm2")(h.astype(jnp.float32)).astype(h.dtype)
         h = _swish(h)
@@ -160,13 +162,15 @@ class AttnBlock3D(nn.Module):
         q = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="q")(h)
         k = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="k")(h)
         v = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="v")(h)
-        q = q.reshape(B * T, H * W, C)
-        k = k.reshape(B * T, H * W, C)
-        v = v.reshape(B * T, H * W, C)
-        attn = jax.nn.softmax(
-            (q @ jnp.swapaxes(k, 1, 2)).astype(jnp.float32) * C**-0.5, axis=-1
-        ).astype(x.dtype)
-        h = (attn @ v).reshape(B, T, H, W, C)
+        from videosys_tpu.ops.attention import scaled_dot_product_attention
+
+        q = q.reshape(B * T, 1, H * W, C)
+        k = k.reshape(B * T, 1, H * W, C)
+        v = v.reshape(B * T, 1, H * W, C)
+        # online-softmax kernel on TPU: avoids the [B*T, HW, HW] fp32 score
+        # tensor (67 MB per frame at 64x64 latents)
+        h = scaled_dot_product_attention(q, k, v, scale=C**-0.5)
+        h = h.reshape(B, T, H, W, C)
         h = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
 
@@ -444,7 +448,7 @@ class CausalVAEEncoder(nn.Module):
         h = _make(cfg.encoder_mid_resnet, h.shape[-1], dt, "mid_block1")(h)
         h = VAE_OPS[cfg.encoder_attention](dtype=dt, name="mid_attn")(h)
         h = _make(cfg.encoder_mid_resnet, h.shape[-1], dt, "mid_block2")(h)
-        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm_out")(h.astype(jnp.float32)).astype(h.dtype)
         h = _swish(h)
@@ -483,7 +487,7 @@ class CausalVAEDecoder(nn.Module):
             if cfg.decoder_temporal_upsample[i]:
                 h = _make(cfg.decoder_temporal_upsample[i], h.shape[-1], dt,
                           f"up{i}_time_upsample")(h)
-        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
+        h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
                          dtype=jnp.float32,
                          name="norm_out")(h.astype(jnp.float32)).astype(h.dtype)
         h = _swish(h)

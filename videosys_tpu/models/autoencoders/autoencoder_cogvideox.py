@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from videosys_tpu.models.modules.normalization import GroupNormMXU
+
 
 class CausalConv3dCog(nn.Module):
     """CogVideoXCausalConv3d: first-frame-replicate temporal pad (:112-117),
@@ -77,7 +79,7 @@ class SpatialNorm3D(nn.Module):
             zq = jnp.concatenate([z_first, z_rest], axis=1)
         else:
             zq = _resize_nearest(zq, Tf, Hf, Wf)
-        norm_f = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+        norm_f = GroupNormMXU(num_groups=self.groups, epsilon=1e-6,
                               dtype=jnp.float32, name="norm_layer")(f).astype(f.dtype)
         cy = CausalConv3dCog(self.f_channels, (1, 1, 1), dtype=self.dtype,
                              name="conv_y")(zq)
@@ -103,7 +105,7 @@ class ResnetBlock3DCog(nn.Module):
             if self.spatial_norm:
                 return SpatialNorm3D(h.shape[-1], self.groups, self.dtype,
                                      name=name)(h, zq)
-            return nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+            return GroupNormMXU(num_groups=self.groups, epsilon=self.eps,
                                 dtype=jnp.float32, name=name)(h).astype(h.dtype)
 
         h = nn.silu(norm(x, "norm1"))
@@ -196,7 +198,7 @@ class CogVideoXEncoder3D(nn.Module):
         for j in range(2):
             h = ResnetBlock3DCog(ch[-1], self.norm_num_groups, dtype=self.dtype,
                                  name=f"mid_res_{j}")(h)
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        h = GroupNormMXU(num_groups=self.norm_num_groups, epsilon=1e-6,
                          dtype=jnp.float32, name="norm_out")(h).astype(h.dtype)
         h = nn.silu(h)
         return CausalConv3dCog(2 * self.latent_channels, (3, 3, 3),

@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from videosys_tpu.models.modules.normalization import GroupNormMXU
+
 
 class ResnetBlock2D(nn.Module):
     out_channels: int
@@ -24,10 +26,10 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -43,15 +45,19 @@ class AttnBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from videosys_tpu.ops.attention import scaled_dot_product_attention
+
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
         h = h.astype(self.dtype).reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        s = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (C**-0.5)
-        p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bqk,bkc->bqc", p, v)
+        # online-softmax kernel: at 480p latents (60x106 = 6360 positions)
+        # the naive einsum materializes a 647 MB fp32 score tensor — 594 ms
+        # of the 4.8 s VAE decode on v5e
+        o = scaled_dot_product_attention(q[:, None], k[:, None], v[:, None],
+                                         scale=C**-0.5)[:, 0]
         o = nn.Dense(C, dtype=self.dtype, name="to_out")(o)
         return x + o.reshape(B, H, W, C)
 
@@ -83,7 +89,7 @@ class Encoder2D(nn.Module):
         if self.mid_block_add_attention:
             h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_1")(h)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)
@@ -113,7 +119,7 @@ class Decoder2D(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)

@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from videosys_tpu.models.modules.normalization import GroupNormMXU
+
 
 class CausalConv3d(nn.Module):
     """Conv3D with front-only temporal padding (CausalConv3d :89-124).
@@ -49,12 +51,12 @@ class ResBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = CausalConv3d(self.filters, (3, 3, 3), use_bias=False,
                          dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = CausalConv3d(self.filters, (3, 3, 3), use_bias=False,
@@ -93,7 +95,7 @@ class EncoderTemporal(nn.Module):
         for j in range(self.num_res_blocks):
             h = ResBlock3D(h.shape[-1], self.num_groups, dtype=self.dtype,
                            name=f"final_res_{j}")(h)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm1")(h)
         h = nn.silu(h).astype(self.dtype)
         return CausalConv3d(self.latent_embed_dim, (1, 1, 1),
@@ -136,7 +138,7 @@ class DecoderTemporal(nn.Module):
                     h = h.reshape(B, T, H, W, Cts // t_stride, t_stride)
                     h = jnp.moveaxis(h, 5, 2)  # [B,T,ts,H,W,C]
                     h = h.reshape(B, T * t_stride, H, W, Cts // t_stride)
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm1")(h)
         h = nn.silu(h).astype(self.dtype)
         return CausalConv3d(self.out_channels, (3, 3, 3),

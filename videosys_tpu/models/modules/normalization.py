@@ -10,6 +10,8 @@ reference's apex FusedRMSNorm wheel.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -79,3 +81,46 @@ def rms_norm_heads(x, weight, num_heads: int, eps: float = 1e-6):
                                   (((2,), (0,)), ((), ())))  # [B, N, C]
     w = jnp.tile(weight.astype(jnp.float32), num_heads)  # [C]
     return (xf * (scale_c * w)).astype(x.dtype)
+
+
+class GroupNormMXU(nn.Module):
+    """Drop-in GroupNorm for channel-last tensors without the [.., G, C/G]
+    group reshape.
+
+    nn.GroupNorm splits channels into (groups, C/G) — a 16-wide minor dim at
+    VAE widths, forcing sub-lane tilings and relayout copies (measured ~2 s
+    of the 4.8 s Open-Sora 2s/480p VAE decode on v5e). Here the per-channel
+    spatial sums stay lane-aligned on [.., C]; folding channels into groups
+    and broadcasting the scale back both run on the MXU via a [C, G]
+    indicator matrix. Fast-variance numerics and the {scale, bias} param
+    pytree match nn.GroupNorm, so checkpoints are interchangeable. Two
+    passes over x total (stats + fused affine); output follows x.dtype."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32  # accepted for signature parity; stats are fp32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        C = x.shape[-1]
+        G = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        s1 = jnp.sum(xf, axis=axes)       # [B, C]
+        s2 = jnp.sum(xf * xf, axis=axes)  # [B, C]
+        ind = jnp.equal(jnp.arange(C)[:, None] // (C // G),
+                        jnp.arange(G)[None, :]).astype(jnp.float32)
+        n = (xf.size // xf.shape[0] // C) * (C // G)
+        m = (s1 @ ind) / n                # [B, G]
+        var = (s2 @ ind) / n - m * m
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        m_c = m @ ind.T                   # [B, C] broadcast back
+        r_c = rstd @ ind.T
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+        w = (r_c * scale).reshape(bshape)
+        b = (bias - m_c * r_c * scale).reshape(bshape)
+        return (xf * w + b).astype(x.dtype)
