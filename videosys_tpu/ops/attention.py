@@ -26,6 +26,9 @@ from videosys_tpu.ops.flash_attention import flash_attention
 # the kv length is long enough that XLA's one-shot materialization thrashes.
 # (The reference's N>=30 flash heuristic, attentions.py:58, tuned for CUDA
 # kernel-launch costs, does not transfer to XLA:TPU.)
+# Measured (r2): forcing the kernel onto cross-attention shapes (Nk=300,
+# scores 0.9 GB) is a LOSS — step 1.357 -> 1.440 s; the 384-lane-padded
+# small-Nk programs don't amortize. Keep the 1 GiB threshold.
 # Update after the single-pass kernel (flash_attention.py): at DiT spatial
 # shapes both paths are exp-bound (~25 TF/s) — equal speed, but the kernel
 # never materializes the fp32 score matrix (4.9 GiB at 2s/480p), so it wins
