@@ -92,6 +92,7 @@ def test_mesh_pool_power_of_two():
         pool.mesh_for_sp(3)
 
 
+@pytest.mark.slow
 def test_dsp_pipeline_equivalence_sp_vs_single():
     """SURVEY §7 gate: DSP (num_gpus>1) generation must match single-device
     output for identical weights and seed (the all-to-all flips are pure

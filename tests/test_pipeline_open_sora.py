@@ -137,6 +137,7 @@ def test_mask_strategy_parsing_and_apply():
     assert mask3 is None and (z3 == 0).all()
 
 
+@pytest.mark.slow
 def test_generate_conditioned_and_loop(engine):
     import numpy as np
 

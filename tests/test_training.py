@@ -307,6 +307,7 @@ def test_dcp_profiler_reports_failures():
     assert "_failures" in prof.dump()
 
 
+@pytest.mark.slow
 def test_raw_video_training_through_vae(tmp_path):
     """End-to-end raw-video training (VERDICT r1 #8): a video CSV trains
     without preprocessing — frames are read, resize-cropped to the bucket,

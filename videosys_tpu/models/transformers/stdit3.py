@@ -482,6 +482,7 @@ class STDiT3(nn.Module):
             in_axes=(0,) + (nn.broadcast,) * 5,
             out_axes=0,
             length=cfg.depth,
+            unroll=2,
         )
         (xs, mlp_carries_out, write_carries_out), _ = ScanPairs(
             config=cfg, plan=plan, cache_dtype=self._cache_dtype(),
