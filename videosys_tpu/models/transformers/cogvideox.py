@@ -95,10 +95,14 @@ def rope_3d(head_dim: int, t: int, h: int, w: int,
 def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x: [..., N, D]; rotate interleaved pairs (apply_rotary_emb
     use_real_unbind_dim=-1, embeddings.py:367-406)."""
+    # pair swap as lane rolls + select, sign folded into sin — bit-exact in
+    # fp32, avoids the T(2,128)-tiled pair reshape (see
+    # modules/embeddings.apply_rope_channel)
+    even = (jnp.arange(x.shape[-1]) % 2) == 0
+    sin_alt = jnp.where(even, -sin, sin)
     xf = x.astype(jnp.float32)
-    pairs = xf.reshape(xf.shape[:-1] + (-1, 2))
-    rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
-    return (xf * cos + rot * sin).astype(x.dtype)
+    swapped = jnp.where(even, jnp.roll(xf, -1, -1), jnp.roll(xf, 1, -1))
+    return (xf * cos + swapped * sin_alt).astype(x.dtype)
 
 
 def pos_embed_3d(embed_dim: int, t: int, h: int, w: int,
