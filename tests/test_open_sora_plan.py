@@ -285,3 +285,24 @@ def test_pipeline_generate_pab():
     engine = VideoSysEngine(cfg)
     out = engine.generate("waves", num_inference_steps=6, seed=0)
     assert out.video.dtype == np.uint8
+
+
+def test_v120_sp_equivalence():
+    """Ulysses SP on the fake 8-device mesh must not change the math."""
+    from videosys_tpu.core.parallel import ParallelConfig, build_mesh, use_mesh
+    from videosys_tpu.models.transformers.open_sora_plan_v120 import (
+        OpenSoraPlanV120Transformer,
+    )
+
+    x = jnp.ones((1, 4, 3, 16, 16)) * 0.1
+    enc = jnp.ones((1, 8, 32))
+    t = jnp.array([500.0])
+    m = OpenSoraPlanV120Transformer(tiny_v120())
+    p = m.init(jax.random.key(0), x, enc, t)
+    fn = jax.jit(lambda p, x, e, t: m.apply(p, x, e, t))
+    ref = fn(p, x, enc, t)
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    with use_mesh(mesh):
+        out = fn(p, x, enc, t)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=2e-5, rtol=1e-5)

@@ -169,3 +169,20 @@ def test_clip_wrapper_gated_offline():
 
     with _pytest.raises(Exception):
         ClipTextEncoder("/nonexistent/Vchitect-2.0-2B")
+
+
+def test_vchitect_sp_equivalence():
+    """DSP sharding on the fake 8-device mesh must not change the math
+    (the shard_* constraint flips are pure reshardings)."""
+    from videosys_tpu.core.parallel import ParallelConfig, build_mesh, use_mesh
+
+    m = VchitectXLTransformer(tiny_cfg())
+    x, enc, pooled, t = _inputs(F=8)
+    p = m.init(jax.random.key(0), x, enc, pooled, t)
+    fn = jax.jit(lambda p, x, e, pl, t: m.apply(p, x, e, pl, t))
+    ref = fn(p, x, enc, pooled, t)
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    with use_mesh(mesh):
+        out = fn(p, x, enc, pooled, t)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=2e-5, rtol=1e-5)
