@@ -440,3 +440,53 @@ def test_watchdog_beats_and_detects_hang():
     with wd:
         time.sleep(0.5)
     assert hangs, "hang was not detected"
+
+
+def test_remat_policy_value_parity_and_dynamic_recompute():
+    """Remat policies never change values (full/dots/none forward-identical);
+    the DCP profiler escalates none -> dots -> full and records the least
+    recompute that fits (reference dynamic_recompute, profiler.py:584-622)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu.core.dcp import Profiler
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+    from videosys_tpu.training.buckets import Bucket
+
+    mc = STDiT3Config(depth=2, hidden_size=32, num_heads=2,
+                      caption_channels=16, model_max_length=8)
+    x = jnp.ones((1, 4, 2, 8, 8)) * 0.1
+    t = jnp.full((1,), 500.0)
+    y = jnp.zeros((1, 4, 16))
+    models = {p: STDiT3(mc, remat=True, remat_policy=p)
+              for p in ("full", "dots", "none")}
+    params = models["full"].init(jax.random.key(0), x, t, y,
+                                 height=64.0, width=64.0)
+    outs = {p: m.apply(params, x, t, y, height=64.0, width=64.0)
+            for p, m in models.items()}
+    np.testing.assert_array_equal(np.asarray(outs["full"]),
+                                  np.asarray(outs["dots"]))
+    np.testing.assert_array_equal(np.asarray(outs["full"]),
+                                  np.asarray(outs["none"]))
+
+    # profiler escalation: "none" blows an artificial budget, "dots" fits
+    bucket = Bucket({"144p": {1: (1.0, 2)}})
+    sizes = {"none": 4 * 1024 * 1024, "dots": 1024, "full": 1024}
+
+    def step_builder(thw, bs, sp, policy="full"):
+        n = sizes[policy] // 4
+
+        def fn(a):
+            return jnp.cumsum(jnp.zeros((n,), jnp.float32) + a)[-1]
+
+        return jax.jit(fn), (jnp.float32(1.0),)
+
+    prof = Profiler(bucket, step_builder, memory_budget_bytes=2 * 1024 * 1024,
+                    alloc_memory_fraction=1.0, measure_wall_time=False,
+                    remat_candidates=("none", "dots", "full"))
+    prof.profile_all()
+    assert prof.results, "no buckets profiled"
+    p = next(iter(prof.results.values()))
+    assert p.fits and p.remat_policy == "dots", p
+    planner = prof.make_planner()
+    assert planner.remat_policy(p.bucket_id) == "dots"

@@ -41,6 +41,7 @@ class BucketProfile:
     memory_bytes: int      # compiled HBM plan
     flops: float
     fits: bool
+    remat_policy: str = "full"
 
 
 class Profiler:
@@ -59,6 +60,7 @@ class Profiler:
         sp_candidates: Tuple[int, ...] = (1,),
         measure_wall_time: bool = True,
         alloc_memory_fraction: float = 0.70,
+        remat_candidates: Tuple[str, ...] = ("full",),
     ):
         self.bucket = bucket
         self.step_builder = step_builder
@@ -72,13 +74,28 @@ class Profiler:
         # (profiler.py:500-503 / train.py:500-504)
         self.memory_budget = int(memory_budget_bytes * alloc_memory_fraction)
         self.sp_candidates = tuple(sorted(sp_candidates))
+        # recompute escalation (reference dynamic_recompute analog): listed
+        # least-recompute-first; only consulted if step_builder accepts a
+        # `policy` kwarg
+        import inspect
+
+        self.remat_candidates = tuple(remat_candidates)
+        try:
+            self._builder_takes_policy = (
+                "policy" in inspect.signature(step_builder).parameters)
+        except (TypeError, ValueError):
+            self._builder_takes_policy = False
         self.measure_wall_time = measure_wall_time
         self.results: Dict[BucketId, BucketProfile] = {}
         self.failures: list[dict] = []
 
     # ------------------------------------------------------------------ #
-    def _analyze(self, thw, bs: int, sp: int) -> Tuple[float, int, float, object, tuple]:
-        fn, args = self.step_builder(thw, bs, sp)
+    def _analyze(self, thw, bs: int, sp: int,
+                 policy: str = "full") -> Tuple[float, int, float, object, tuple]:
+        if self._builder_takes_policy:
+            fn, args = self.step_builder(thw, bs, sp, policy=policy)
+        else:
+            fn, args = self.step_builder(thw, bs, sp)
         lowered = jax.jit(fn) if not hasattr(fn, "lower") else fn
         compiled = lowered.lower(*args).compile()
         mem = compiled.memory_analysis()
@@ -102,32 +119,42 @@ class Profiler:
         silently swallowed — advisor r1 finding) in `self.failures` and the
         log, then skipped."""
         thw = self.bucket.get_thw(bucket_id)
+        policies = (self.remat_candidates
+                    if self._builder_takes_policy else ("full",))
         last = None
         for sp in self.sp_candidates:
-            try:
-                mem_bytes, flops, compiled, args = self._analyze(thw, bs, sp)
-            except Exception as e:
-                self.failures.append(
-                    {"bucket": bucket_id, "bs": bs, "sp": sp,
-                     "error": f"{type(e).__name__}: {e}"})
-                logger.warning("DCP profile failed for bucket=%s bs=%d sp=%d: %s",
-                               bucket_id, bs, sp, e)
-                continue
-            fits = mem_bytes <= self.memory_budget
-            t = flops / 1e12  # crude prior: seconds at 1 TFLOP/s, refined below
-            if fits and self.measure_wall_time:
-                out = compiled(*args)
-                jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                out = compiled(*args)
-                jax.block_until_ready(out)
-                t = time.perf_counter() - t0
-            last = BucketProfile(bucket_id, bs, sp, t, mem_bytes, flops, fits)
-            if fits:
+            for policy in policies:
+                try:
+                    mem_bytes, flops, compiled, args = self._analyze(
+                        thw, bs, sp, policy)
+                except Exception as e:
+                    self.failures.append(
+                        {"bucket": bucket_id, "bs": bs, "sp": sp,
+                         "policy": policy,
+                         "error": f"{type(e).__name__}: {e}"})
+                    logger.warning(
+                        "DCP profile failed for bucket=%s bs=%d sp=%d "
+                        "policy=%s: %s", bucket_id, bs, sp, policy, e)
+                    continue
+                fits = mem_bytes <= self.memory_budget
+                t = flops / 1e12  # crude prior, refined below
+                if fits and self.measure_wall_time:
+                    out = compiled(*args)
+                    jax.block_until_ready(out)
+                    t0 = time.perf_counter()
+                    out = compiled(*args)
+                    jax.block_until_ready(out)
+                    t = time.perf_counter() - t0
+                last = BucketProfile(bucket_id, bs, sp, t, mem_bytes, flops,
+                                     fits, policy)
+                if fits:
+                    break
+            if last is not None and last.fits:
                 break
         if last is None:
             last = BucketProfile(bucket_id, bs, self.sp_candidates[0],
-                                 float("inf"), 0, 0.0, False)
+                                 float("inf"), 0, 0.0, False,
+                                 policies[-1])
         self.results[bucket_id] = last
         return last
 
@@ -146,7 +173,7 @@ class Profiler:
         (optimize_dynamics :799-822: balance every step to the slowest
         bucket's step time)."""
         profile = {
-            bid: {"time": p.time, "sp": p.sp}
+            bid: {"time": p.time, "sp": p.sp, "remat_policy": p.remat_policy}
             for bid, p in self.results.items() if p.fits
         }
         target = max((p["time"] for p in profile.values()), default=None)

@@ -319,6 +319,13 @@ class STDiT3(nn.Module):
     plan: PABStepPlan = PABStepPlan()
     pab_config: Optional[PABConfig] = None
     remat: bool = False  # gradient checkpointing over block pairs
+    # TPU-native analog of the reference's dynamic recompute (the knapsack
+    # over per-submodule recompute counts, core/dcp/profiler.py:584-622):
+    # instead of choosing WHICH torch submodules to checkpoint, choose the
+    # XLA remat policy for the scanned pair — "full" recomputes everything,
+    # "dots" saves matmul outputs (less recompute, more memory), "none"
+    # disables remat. The DCP profiler escalates across policies per bucket.
+    remat_policy: str = "full"  # full | dots | none
 
     def cache_keys(self, temporal: bool) -> Tuple[str, ...]:
         pc = self.pab_config
@@ -469,11 +476,14 @@ class STDiT3(nn.Module):
         scanned = (read_in, depth_idx, row_idx, mlp_flags)
 
         pair_cls = STDiT3DepthPair
-        if self.remat:
+        if self.remat and self.remat_policy != "none":
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if self.remat_policy == "dots" else None)
             pair_cls = nn.remat(
                 pair_cls,
                 static_argnums=(),
                 prevent_cse=False,
+                policy=policy,
             )
         ScanPairs = nn.scan(
             pair_cls,

@@ -95,7 +95,7 @@ class DCPPlanner:
     profile: Dict[BucketId, dict]
     target_time: Optional[float] = None
 
-    def plan(self, bucket_id: BucketId) -> Tuple[int, int]:
+    def _entry(self, bucket_id: BucketId) -> Optional[dict]:
         entry = self.profile.get(bucket_id)
         if entry is None:
             # the profiler measures one representative aspect ratio per
@@ -105,6 +105,10 @@ class DCPPlanner:
                 if bid[:2] == bucket_id[:2]:
                     entry = e
                     break
+        return entry
+
+    def plan(self, bucket_id: BucketId) -> Tuple[int, int]:
+        entry = self._entry(bucket_id)
         if entry is None:
             return 1, 1
         sp = int(entry.get("sp", 1))
@@ -112,6 +116,12 @@ class DCPPlanner:
         if self.target_time and entry.get("time"):
             gas = max(1, round(self.target_time / float(entry["time"])))
         return sp, gas
+
+    def remat_policy(self, bucket_id: BucketId, default: str = "full") -> str:
+        """Per-bucket recompute policy chosen by the profiler (dynamic
+        recompute — least recompute that fits memory)."""
+        entry = self._entry(bucket_id)
+        return (entry or {}).get("remat_policy", default)
 
 
 class VariableVideoBatchSampler:

@@ -76,6 +76,13 @@ class TrainConfig:
     # scheduling detail; the math is the packed-step gradient)
     sp_balance: bool = False
     dynamic_profile: bool = False
+    # activation recompute policy for the scanned pairs: "full" | "dots" |
+    # "none". With dynamic_recompute=True the DCP profile phase escalates
+    # none -> dots -> full per bucket (the reference's dynamic_recompute
+    # knapsack, core/dcp/profiler.py:584-622, re-landed as XLA remat
+    # policies) and the loop builds each bucket's step with its policy.
+    remat_policy: str = "full"
+    dynamic_recompute: bool = False
     ckpt_every: Optional[int] = None
     ckpt_dir: str = "./checkpoints"
     log_every: int = 10
@@ -110,7 +117,11 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
     elif cfg.dp_size * cfg.sp_size > 1:
         mesh = par.build_mesh(par.ParallelConfig(cfg.dp_size, 1, cfg.sp_size))
 
-    model = STDiT3(cfg.model, remat=True)
+    models_by_policy = {
+        p: STDiT3(cfg.model, remat=True, remat_policy=p)
+        for p in ("full", "dots", "none")
+    }
+    model = models_by_policy[cfg.remat_policy]
     scheduler = RFlowScheduler(RFlowConfig(
         use_timestep_transform=True, sample_method="logit-normal"))
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.warmup_steps, cfg.grad_clip)
@@ -123,11 +134,11 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
 
     # --- DCP profile phase (profiler.py two-phase flow) ----------------- #
     if cfg.dynamic_profile:
-        def step_builder(thw, bs, sp):
+        def step_builder(thw, bs, sp, policy=cfg.remat_policy):
             T, H, W = thw
             t_lat, h_lat, w_lat = max(1, T // 17 * 5) if T > 1 else 1, H // 8, W // 8
-            fn = make_train_step(model, scheduler, tx, float(H), float(W),
-                                 num_frames=int(T))
+            fn = make_train_step(models_by_policy[policy], scheduler, tx,
+                                 float(H), float(W), num_frames=int(T))
             x = jnp.zeros((bs, cfg.model.in_channels, t_lat, h_lat, w_lat))
             y = jnp.zeros((bs, 8, cfg.model.caption_channels))
             batch = {"x": x, "y": y, "fps": jnp.full((bs,), 24.0)}
@@ -138,7 +149,10 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
 
         profiler = Profiler(bucket, step_builder,
                             sp_candidates=(cfg.sp_size,) if not cfg.dynamic_sp
-                            else (1, 2, 4, 8))
+                            else (1, 2, 4, 8),
+                            remat_candidates=("none", "dots", "full")
+                            if cfg.dynamic_recompute
+                            else (cfg.remat_policy,))
         profiler.profile_all()
         planner = profiler.make_planner()
         logger.info("DCP profile: %s", profiler.dump())
@@ -293,9 +307,12 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                                 else tuple(plan_mesh.devices.shape))
                     gkey = (plan.bucket_id, mesh_key)
                     if gkey not in grad_fns:
+                        pol = (planner.remat_policy(plan.bucket_id,
+                                                    cfg.remat_policy)
+                               if planner is not None else cfg.remat_policy)
                         grad_fns[gkey] = jax.jit(make_grad_step(
-                            model, scheduler, float(H), float(W),
-                            num_frames=int(T)))
+                            models_by_policy[pol], scheduler, float(H),
+                            float(W), num_frames=int(T)))
                     gfn = grad_fns[gkey]
                     batch, gas = _build_batch(plan, plan_mesh, lat_shape,
                                               global_step + n_evals)
@@ -347,8 +364,10 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                         else tuple(plan_mesh.devices.shape))
             key = (plan.bucket_id, len(plan.indices) // gas, gas, mesh_key)
             if key not in step_fns:
+                pol = (planner.remat_policy(plan.bucket_id, cfg.remat_policy)
+                       if planner is not None else cfg.remat_policy)
                 fn = make_train_step(
-                    model, scheduler, tx, float(H), float(W),
+                    models_by_policy[pol], scheduler, tx, float(H), float(W),
                     num_frames=int(T), gas=gas)
                 if plan_mesh is not None:
                     # pin the output layout to the canonical ZeRO-1 placement
