@@ -37,6 +37,12 @@ def main(argv=None):
                     help="pack plans of differing sp into GlobalSteps "
                          "(grads accumulate, one update per packed step)")
     ap.add_argument("--dynamic-profile", action="store_true")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=("full", "dots", "none"),
+                    help="activation recompute policy for the scanned pairs")
+    ap.add_argument("--dynamic-recompute", action="store_true",
+                    help="let the DCP profiler pick the least recompute "
+                         "that fits memory, per bucket")
     ap.add_argument("--csv", default=None,
                     help="video CSV (path,text,num_frames,height,width); "
                          "trains from raw video through the VAE")
@@ -73,6 +79,8 @@ def main(argv=None):
         seed=args.seed, dp_size=args.dp_size, sp_size=args.sp_size,
         dynamic_sp=args.dynamic_sp, sp_balance=args.sp_balance,
         dynamic_profile=args.dynamic_profile,
+        remat_policy=args.remat_policy,
+        dynamic_recompute=args.dynamic_recompute,
         ckpt_every=args.ckpt_every, ckpt_dir=args.ckpt_dir,
         dataset_size=args.dataset_size,
         bucket_config=({"144p": {1: (1.0, 2), 34: (1.0, 2)}} if args.tiny
