@@ -91,7 +91,7 @@ class Profiler:
 
     # ------------------------------------------------------------------ #
     def _analyze(self, thw, bs: int, sp: int,
-                 policy: str = "full") -> Tuple[float, int, float, object, tuple]:
+                 policy: str = "full") -> Tuple[int, float, object, tuple]:
         if self._builder_takes_policy:
             fn, args = self.step_builder(thw, bs, sp, policy=policy)
         else:

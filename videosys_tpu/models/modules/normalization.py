@@ -98,7 +98,7 @@ class GroupNormMXU(nn.Module):
 
     num_groups: int
     epsilon: float = 1e-6
-    dtype: Any = jnp.float32  # accepted for signature parity; stats are fp32
+    dtype: Any = jnp.float32  # output dtype (nn.GroupNorm contract)
 
     @nn.compact
     def __call__(self, x):
@@ -106,6 +106,9 @@ class GroupNormMXU(nn.Module):
 
         C = x.shape[-1]
         G = self.num_groups
+        if C % G:
+            raise ValueError(
+                f"channels ({C}) must be divisible by num_groups ({G})")
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         xf = x.astype(jnp.float32)
@@ -123,4 +126,4 @@ class GroupNormMXU(nn.Module):
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
         w = (r_c * scale).reshape(bshape)
         b = (bias - m_c * r_c * scale).reshape(bshape)
-        return (xf * w + b).astype(x.dtype)
+        return (xf * w + b).astype(self.dtype)

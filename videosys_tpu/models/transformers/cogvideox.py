@@ -95,14 +95,10 @@ def rope_3d(head_dim: int, t: int, h: int, w: int,
 def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x: [..., N, D]; rotate interleaved pairs (apply_rotary_emb
     use_real_unbind_dim=-1, embeddings.py:367-406)."""
-    # pair swap as lane rolls + select, sign folded into sin — bit-exact in
-    # fp32, avoids the T(2,128)-tiled pair reshape (see
-    # modules/embeddings.apply_rope_channel)
-    even = (jnp.arange(x.shape[-1]) % 2) == 0
-    sin_alt = jnp.where(even, -sin, sin)
-    xf = x.astype(jnp.float32)
-    swapped = jnp.where(even, jnp.roll(xf, -1, -1), jnp.roll(xf, 1, -1))
-    return (xf * cos + swapped * sin_alt).astype(x.dtype)
+    from videosys_tpu.models.modules.embeddings import rotate_interleaved_pairs
+
+    return rotate_interleaved_pairs(x, jnp.asarray(cos, jnp.float32),
+                                    jnp.asarray(sin, jnp.float32))
 
 
 def pos_embed_3d(embed_dim: int, t: int, h: int, w: int,

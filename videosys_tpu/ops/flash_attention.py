@@ -178,19 +178,23 @@ def _flash_attention_fwd_impl(
     single_pass = Nk <= SINGLE_PASS_MAX_KV
     Dp = _round_up(D, _LANES)
     if single_pass:
-        block_kv = _round_up(Nk, _LANES)
+        whole_kv = _round_up(Nk, _LANES)
         # Fewest q blocks whose VMEM working set (fp32 scores + k/v + q/o)
         # fits, then size the block to the actual Nq: a fixed 1024 block
         # padded Nq=1590 to 2048 (29% wasted MXU rows); splitting into two
         # 800-row blocks pads only to 1600. Blocks stay multiples of 16
-        # (bf16 sublane tiling).
+        # (bf16 sublane tiling). If no q block fits (large D and the whole
+        # KV row alone blows the budget), fall back to the blocked kernel.
         for nblocks in range(1, 1 + _round_up(Nq, 16) // 16):
             cand = _round_up(-(-Nq // nblocks), 16)
-            vmem = (cand * block_kv * 4 + 2 * block_kv * Dp * 2
+            vmem = (cand * whole_kv * 4 + 2 * whole_kv * Dp * 2
                     + 2 * cand * Dp * 4)
             if vmem <= (10 << 20):
                 block_q = cand
+                block_kv = whole_kv
                 break
+        else:
+            single_pass = False
 
     Nqp = _round_up(Nq, block_q)
     Nkp = _round_up(Nk, block_kv)

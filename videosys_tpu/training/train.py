@@ -117,6 +117,11 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
     elif cfg.dp_size * cfg.sp_size > 1:
         mesh = par.build_mesh(par.ParallelConfig(cfg.dp_size, 1, cfg.sp_size))
 
+    if cfg.dynamic_recompute and not cfg.dynamic_profile:
+        raise ValueError(
+            "dynamic_recompute picks the remat policy during the DCP "
+            "profile phase; set dynamic_profile=True as well (or set a "
+            "fixed remat_policy instead)")
     models_by_policy = {
         p: STDiT3(cfg.model, remat=True, remat_policy=p)
         for p in ("full", "dots", "none")
