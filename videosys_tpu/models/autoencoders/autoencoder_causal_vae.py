@@ -94,8 +94,7 @@ def _groups(c: int) -> int:
 
 def _group_norm(x):
     return GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
-                        dtype=jnp.float32,
-                        name="norm")(x.astype(jnp.float32)).astype(x.dtype)
+                        dtype=x.dtype, name="norm")(x)
 
 
 class ResnetBlock3D(nn.Module):
@@ -109,13 +108,11 @@ class ResnetBlock3D(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         h = GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
+                         dtype=x.dtype, name="norm1")(x)
         h = _swish(h)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
         h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm2")(h.astype(jnp.float32)).astype(h.dtype)
+                         dtype=h.dtype, name="norm2")(h)
         h = _swish(h)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -134,13 +131,11 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         h = GroupNormMXU(num_groups=_groups(x.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
+                         dtype=x.dtype, name="norm1")(x)
         h = _swish(h)
         h = Conv2dOp(self.out_channels, dtype=self.dtype, name="conv1")(h)
         h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm2")(h.astype(jnp.float32)).astype(h.dtype)
+                         dtype=h.dtype, name="norm2")(h)
         h = _swish(h)
         h = Conv2dOp(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -449,8 +444,7 @@ class CausalVAEEncoder(nn.Module):
         h = VAE_OPS[cfg.encoder_attention](dtype=dt, name="mid_attn")(h)
         h = _make(cfg.encoder_mid_resnet, h.shape[-1], dt, "mid_block2")(h)
         h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm_out")(h.astype(jnp.float32)).astype(h.dtype)
+                         dtype=h.dtype, name="norm_out")(h)
         h = _swish(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return _make(cfg.encoder_conv_out, out_ch, dt, "conv_out")(h)
@@ -488,8 +482,7 @@ class CausalVAEDecoder(nn.Module):
                 h = _make(cfg.decoder_temporal_upsample[i], h.shape[-1], dt,
                           f"up{i}_time_upsample")(h)
         h = GroupNormMXU(num_groups=_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32,
-                         name="norm_out")(h.astype(jnp.float32)).astype(h.dtype)
+                         dtype=h.dtype, name="norm_out")(h)
         h = _swish(h)
         return _make(cfg.decoder_conv_out, 3, dt, "conv_out")(h)
 

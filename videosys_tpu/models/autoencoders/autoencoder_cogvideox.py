@@ -80,7 +80,7 @@ class SpatialNorm3D(nn.Module):
         else:
             zq = _resize_nearest(zq, Tf, Hf, Wf)
         norm_f = GroupNormMXU(num_groups=self.groups, epsilon=1e-6,
-                              dtype=jnp.float32, name="norm_layer")(f).astype(f.dtype)
+                              dtype=f.dtype, name="norm_layer")(f)
         cy = CausalConv3dCog(self.f_channels, (1, 1, 1), dtype=self.dtype,
                              name="conv_y")(zq)
         cb = CausalConv3dCog(self.f_channels, (1, 1, 1), dtype=self.dtype,
@@ -106,7 +106,7 @@ class ResnetBlock3DCog(nn.Module):
                 return SpatialNorm3D(h.shape[-1], self.groups, self.dtype,
                                      name=name)(h, zq)
             return GroupNormMXU(num_groups=self.groups, epsilon=self.eps,
-                                dtype=jnp.float32, name=name)(h).astype(h.dtype)
+                                dtype=h.dtype, name=name)(h)
 
         h = nn.silu(norm(x, "norm1"))
         h = CausalConv3dCog(self.out_channels, (3, 3, 3), dtype=self.dtype,
@@ -199,7 +199,7 @@ class CogVideoXEncoder3D(nn.Module):
             h = ResnetBlock3DCog(ch[-1], self.norm_num_groups, dtype=self.dtype,
                                  name=f"mid_res_{j}")(h)
         h = GroupNormMXU(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, name="norm_out")(h).astype(h.dtype)
+                         dtype=h.dtype, name="norm_out")(h)
         h = nn.silu(h)
         return CausalConv3dCog(2 * self.latent_channels, (3, 3, 3),
                                dtype=self.dtype, name="conv_out")(h)

@@ -26,10 +26,10 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -48,7 +48,7 @@ class AttnBlock2D(nn.Module):
         from videosys_tpu.ops.attention import scaled_dot_product_attention
 
         B, H, W, C = x.shape
-        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         h = h.astype(self.dtype).reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -89,7 +89,7 @@ class Encoder2D(nn.Module):
         if self.mid_block_add_attention:
             h = AttnBlock2D(num_groups=self.num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[-1], num_groups=self.num_groups, dtype=self.dtype, name="mid_res_1")(h)
-        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)
@@ -119,7 +119,7 @@ class Decoder2D(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
-        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)

@@ -52,12 +52,12 @@ class ResBlock3D(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="norm1")(x)
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = CausalConv3d(self.filters, (3, 3, 3), use_bias=False,
                          dtype=self.dtype, name="conv1")(h)
         h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="norm2")(h)
+                         dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = CausalConv3d(self.filters, (3, 3, 3), use_bias=False,
                          dtype=self.dtype, name="conv2")(h)
@@ -96,7 +96,7 @@ class EncoderTemporal(nn.Module):
             h = ResBlock3D(h.shape[-1], self.num_groups, dtype=self.dtype,
                            name=f"final_res_{j}")(h)
         h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="norm1")(h)
+                         dtype=self.dtype, name="norm1")(h)
         h = nn.silu(h).astype(self.dtype)
         return CausalConv3d(self.latent_embed_dim, (1, 1, 1),
                             dtype=self.dtype, name="conv2")(h)
@@ -139,7 +139,7 @@ class DecoderTemporal(nn.Module):
                     h = jnp.moveaxis(h, 5, 2)  # [B,T,ts,H,W,C]
                     h = h.reshape(B, T * t_stride, H, W, Cts // t_stride)
         h = GroupNormMXU(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="norm1")(h)
+                         dtype=self.dtype, name="norm1")(h)
         h = nn.silu(h).astype(self.dtype)
         return CausalConv3d(self.out_channels, (3, 3, 3),
                             dtype=self.dtype, name="conv_out")(h)
