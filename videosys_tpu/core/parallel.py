@@ -273,6 +273,12 @@ def set_distributed_state(distributed_profile: bool = False):
 
     master = os.getenv("MASTER_ADDR")
     if world_size > 1 and master and not distributed_profile:
+        if rank < 0:
+            raise RuntimeError(
+                "set_distributed_state: WORLD_SIZE/MASTER_ADDR are set but no "
+                "rank env var was found — export RANK (torchrun-style) or "
+                "OMPI_COMM_WORLD_RANK (OpenMPI) so the JAX distributed "
+                "runtime gets a valid process_id")
         port = os.getenv("MASTER_PORT", "8476")
         jax.distributed.initialize(coordinator_address=f"{master}:{port}",
                                    num_processes=world_size, process_id=rank)

@@ -185,9 +185,10 @@ def _flash_attention_fwd_impl(
         # 800-row blocks pads only to 1600. Blocks stay multiples of 16
         # (bf16 sublane tiling). If no q block fits (large D and the whole
         # KV row alone blows the budget), fall back to the blocked kernel.
+        kv_itemsize = jnp.dtype(k.dtype).itemsize
         for nblocks in range(1, 1 + _round_up(Nq, 16) // 16):
             cand = _round_up(-(-Nq // nblocks), 16)
-            vmem = (cand * whole_kv * 4 + 2 * whole_kv * Dp * 2
+            vmem = (cand * whole_kv * 4 + 2 * whole_kv * Dp * kv_itemsize
                     + 2 * cand * Dp * 4)
             if vmem <= (10 << 20):
                 block_q = cand

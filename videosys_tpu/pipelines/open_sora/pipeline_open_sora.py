@@ -478,6 +478,11 @@ class OpenSoraPipeline(VideoSysPipeline):
                             noise_added, nkey)
                 float(jnp.sum(z[..., :1]))  # force z; denoise phase boundary
                 _t_denoise += _time.perf_counter() - _t0
+                if getattr(self, "keep_latents", False):
+                    # PAB quality protocol compares LATENTS (BASELINE gate:
+                    # latent PSNR >= 35 dB PAB-on vs PAB-off); opt-in so the
+                    # hot path never pays the device->host transfer
+                    self.last_latents = np.asarray(z)
                 cache = None  # free PAB cache HBM before the VAE runs
                 _t0 = _time.perf_counter()
                 clip = self.vae.decode(self.params["vae"], z,

@@ -329,7 +329,9 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                         with par.use_mesh(plan_mesh) if plan_mesh is not None \
                                 else _null():
                             loss, grads = gfn(state.params, skey, mb)
-                        losses.append(float(loss))
+                        # keep losses on device: float() here would force a
+                        # host sync per micro-batch and serialize dispatch
+                        losses.append(loss)
                         grads_acc = grads if grads_acc is None else \
                             jax.tree.map(jnp.add, grads_acc, grads)
                         n_evals += 1
@@ -348,7 +350,9 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                                            donate_argnums=(0, 1))
                 state, metrics = apply_fn(state, grads_acc,
                                           jnp.float32(n_evals))
-                metrics = dict(metrics, loss=float(np.mean(losses)))
+                # one host sync per GlobalStep, after the apply step
+                metrics = dict(
+                    metrics, loss=float(np.mean([np.asarray(l) for l in losses])))
                 ema_params = update_ema(
                     ema_params, _model_params(state.params), cfg.ema_decay)
                 if _log_and_ckpt(epoch, gstep.plans[0], metrics,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from videosys_tpu.core import parallel as par
 from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
@@ -164,12 +165,22 @@ def zero1_shardings(mesh, state: TrainState):
     update math is elementwise so any partition is valid, and because every
     mesh in a `MeshPool` flattens the same device list in the same order,
     this sharding is physically identical across pool meshes — dynamic-sp
-    mesh switches move zero optimizer bytes."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh switches move zero optimizer bytes. Tensors with no dim divisible
+    by the full device count fall back to the largest divisible axis-name
+    prefix (dp*cp, then dp); only then replicate."""
 
-    n = int(np.prod(mesh.devices.shape))
     axes = tuple(mesh.axis_names)
     replicated = NamedSharding(mesh, P())
+
+    # axis-name prefixes with their device-count products, largest first:
+    # (dp,cp,sp)=all devices, then (dp,cp), then (dp,). A tensor that cannot
+    # shard over the full device count still sheds 1/prefix of its bytes.
+    prefixes = []
+    prod = 1
+    for ax, size in zip(axes, mesh.devices.shape):
+        prod *= size
+        prefixes.append((prod, tuple(axes[: len(prefixes) + 1])))
+    prefixes = [(p, names) for p, names in reversed(prefixes) if p > 1]
 
     def opt_shard(x):
         if not hasattr(x, "shape") or x.ndim == 0:
@@ -177,13 +188,30 @@ def zero1_shardings(mesh, state: TrainState):
         # prefer the largest dim divisible by the full device count; fall
         # back to any dim divisible by a prefix product of mesh axes
         dims = sorted(range(x.ndim), key=lambda a: -x.shape[a])
-        for axis in dims:
-            if x.shape[axis] % n == 0 and x.shape[axis] >= n:
-                spec = [None] * x.ndim
-                spec[axis] = axes
-                return NamedSharding(mesh, P(*spec))
+        for p, names in prefixes:
+            for axis in dims:
+                if x.shape[axis] % p == 0 and x.shape[axis] >= p:
+                    spec = [None] * x.ndim
+                    spec[axis] = names
+                    return NamedSharding(mesh, P(*spec))
         return replicated
 
     param_sh = jax.tree.map(lambda _: replicated, state.params)
     opt_sh = jax.tree.map(opt_shard, state.opt_state)
     return TrainState(param_sh, opt_sh, replicated)
+
+
+def zero1_sharded_fraction(mesh, state: TrainState) -> float:
+    """Fraction of optimizer-state bytes that `zero1_shardings` actually
+    shards (vs replicates) — observability for the ZeRO-1 coverage claim
+    (a "some moment is sharded" test is not an accounting)."""
+    sh = zero1_shardings(mesh, state).opt_state
+    total = sharded = 0
+    for leaf, s in zip(jax.tree.leaves(state.opt_state),
+                       jax.tree.leaves(sh, is_leaf=lambda x: isinstance(x, NamedSharding))):
+        if not hasattr(leaf, "nbytes") or getattr(leaf, "ndim", 0) == 0:
+            continue
+        total += leaf.nbytes
+        if s.spec != P():
+            sharded += leaf.nbytes
+    return sharded / total if total else 0.0

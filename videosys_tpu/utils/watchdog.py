@@ -76,24 +76,42 @@ class Watchdog:
         # wedge the watchdog loop
         self._pool = cf.ThreadPoolExecutor(max_workers=1,
                                            thread_name_prefix="watchdog-beat")
+        self._pending: Optional[cf.Future] = None
 
     def _loop(self):
         while not self._stop.is_set():
-            fut = self._pool.submit(self.beat_fn)
+            if self._pending is not None and not self._pending.done():
+                # a previous beat is still wedged in the single worker: a new
+                # submit would only queue behind it (and would never run if
+                # the runtime stays hung), so wait on the SAME future — the
+                # moment it completes the runtime has recovered and the next
+                # iteration beats normally.
+                fut = self._pending
+            else:
+                fut = self._pool.submit(self.beat_fn)
+            self._pending = fut
             try:
                 fut.result(timeout=self.timeout)
                 self.beats += 1
+                self._pending = None
             except cf.TimeoutError:
                 self.hangs += 1
                 self.on_hang(self.timeout)
             except Exception as e:  # runtime raised — also a failure signal
                 self.hangs += 1
+                self._pending = None
                 logger.critical("watchdog: heartbeat failed: %s", e)
                 self.on_hang(0.0)
             self._stop.wait(self.interval)
 
     def start(self) -> "Watchdog":
         if self._thread is None:
+            # stop() shuts the pool down; a restarted watchdog needs a live one
+            if getattr(self._pool, "_shutdown", False):
+                self._pool = cf.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="watchdog-beat")
+            self._pending = None
+            self._stop.clear()
             self._thread = threading.Thread(target=self._loop, daemon=True,
                                             name="watchdog")
             self._thread.start()
