@@ -158,6 +158,13 @@ def main():
         "pab_latency_s": round(dt_pab, 3) if dt_pab else None,
         "pab_speedup": round(dt / dt_pab, 3) if dt_pab else None,
         "pab_psnr_vs_dense_db": pab_psnr,
+        # this PSNR is measured on RANDOM-INIT weights (zero-egress image):
+        # adjacent-step attention is chaotic, so it is a floor, NOT the
+        # >=35 dB quality gate. The gate is demonstrated on trained weights
+        # in docs/pab_quality.json (experiments/pab_quality.py, the
+        # reference eval/pab protocol).
+        "pab_psnr_note": "random-init floor; trained-weights gate evidence "
+                         "in docs/pab_quality.json",
         "videos_per_min_chip_dense": round(60.0 / dt, 3) if on_tpu else None,
         "videos_per_min_chip_pab": (round(60.0 / dt_pab, 3)
                                     if (on_tpu and dt_pab) else None),

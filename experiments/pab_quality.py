@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_SCENES = 16
+N_SCENES = 8
 NUM_WORDS = ("zero one two three four five six seven eight nine ten eleven "
              "twelve thirteen fourteen fifteen").split()
 
@@ -98,12 +98,17 @@ def latent_psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--guidance", type=float, default=4.0)
     ap.add_argument("--out", default="docs/pab_quality.json")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (smoke testing)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from videosys_tpu import OpenSoraConfig, OpenSoraPABConfig, VideoSysEngine
@@ -116,8 +121,8 @@ def main():
     from videosys_tpu.pipelines.open_sora.data_process import text_preprocessing
     from videosys_tpu.training.train import TrainConfig, run_training
 
-    mc = STDiT3Config(depth=4, hidden_size=64, num_heads=4,
-                      caption_channels=16, model_max_length=8,
+    mc = STDiT3Config(depth=4, hidden_size=96, num_heads=4,
+                      caption_channels=32, model_max_length=8,
                       patch_size=(1, 2, 2))
 
     # the SAME deterministic stub encoder serves training and inference, so
@@ -135,7 +140,8 @@ def main():
         bucket_config={"144p": {17: (1.0, 8)}},
         mask_ratios=None,
         lr=2e-3, warmup_steps=100, grad_clip=1.0, ema_decay=0.995,
-        epochs=10_000, max_steps=args.steps, log_every=200,
+        epochs=10_000, max_steps=args.steps,
+        log_every=min(200, max(1, args.steps // 2)),
         dataset_size=len(ds), seed=args.seed,
         ckpt_every=None, remat_policy="none",
     )
@@ -143,7 +149,7 @@ def main():
     state, ema_params, history = run_training(cfg, dataset=ds,
                                               text_embed_fn=text_embed_fn)
     train_s = time.time() - t0
-    losses = [h["loss"] for h in history]
+    losses = [h["loss"] for h in history] or [float("nan")]
     print(f"# trained {args.steps} steps in {train_s:.0f}s; "
           f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
 
@@ -172,17 +178,37 @@ def main():
         e.driver_worker.keep_latents = True
         return e
 
+    # guidance 4.0 is meaningful because training ran with caption dropout
+    # (class_dropout_prob=0.1), which trains the null embedding CFG uses
     gen_kwargs = dict(resolution="144p", aspect_ratio="1:1", num_frames=17,
-                      guidance_scale=1.0, aes=None, verbose=False)
-    prompts = [scene_prompt(i) for i in (0, 3, 7, 12)]
+                      guidance_scale=args.guidance, aes=None, verbose=False)
+    eval_scenes = (0, 2, 5, 7)
+    prompts = [scene_prompt(i) for i in eval_scenes]
+    seeds = {scene_prompt(i): 17 + i for i in eval_scenes}
 
     dense = make_engine(None)
     dense_lat = {}
     dense_vid = {}
-    for p in prompts:
-        out = dense.generate(p, seed=17, **gen_kwargs)
+    fidelity = {}
+    for i, p in zip(eval_scenes, prompts):
+        out = dense.generate(p, seed=seeds[p], **gen_kwargs)
         dense_lat[p] = dense.driver_worker.last_latents
         dense_vid[p] = out.video
+        # scene fidelity: did training actually converge? (an underfit model
+        # has a near-zero velocity field, which makes PAB trivially exact —
+        # the PSNR gate only means something on a model that generates the
+        # trained distribution)
+        gen = dense_lat[p][0].reshape(-1).astype(np.float64)
+        corrs = [float(np.corrcoef(
+            gen, scene_latent(j).reshape(-1).astype(np.float64))[0, 1])
+            for j in range(N_SCENES)]
+        fidelity[p] = corrs[i]
+        best = int(np.argmax(corrs))
+        print(f"# {p}: corr(target)={corrs[i]:.3f} "
+              f"best-match=scene {best} ({corrs[best]:.3f})", flush=True)
+    fid_mean = float(np.mean(list(fidelity.values())))
+    print(f"# scene fidelity (corr dense-generated vs trained latent): "
+          f"{fid_mean:.3f} {fidelity}", flush=True)
 
     # PAB range sweep: (spatial, temporal, cross, mlp?) — default reference
     # config plus lighter/heavier points for the Pareto
@@ -210,7 +236,7 @@ def main():
         eng = make_engine(pab_cfg)
         psnrs, vid_psnrs = [], []
         for p in prompts:
-            out = eng.generate(p, seed=17, **gen_kwargs)
+            out = eng.generate(p, seed=seeds[p], **gen_kwargs)
             psnrs.append(latent_psnr(eng.driver_worker.last_latents,
                                      dense_lat[p]))
             mse = float(np.mean((out.video.astype(np.float32)
@@ -240,8 +266,13 @@ def main():
         "train_loss_first": round(float(losses[0]), 4),
         "train_loss_last": round(float(losses[-1]), 4),
         "train_seconds": round(train_s, 1),
+        "guidance_scale": args.guidance,
         "backend": jax.default_backend(),
-        "gate": "latent PSNR >= 35 dB at some PAB config",
+        "scene_fidelity_corr": round(fid_mean, 4),
+        "scene_fidelity_per_prompt": {k: round(v, 4)
+                                      for k, v in fidelity.items()},
+        "gate": "latent PSNR >= 35 dB at some PAB config (on a model whose "
+                "dense output matches the trained scenes)",
         "gate_met": any(r["latent_psnr_db"] >= 35.0 for r in results.values()),
         "results": results,
     }

@@ -757,3 +757,267 @@ class DiffusionPipeline:
 
     def register_to_config(self, **kwargs):
         pass
+
+
+# --------------------------------------------------------------------------
+# AutoencoderKL — faithful mini of diffusers 0.30.0 (models/autoencoders/
+# autoencoder_kl.py + vae.py + unet_2d_blocks.py pieces it uses). Only the
+# eval-time forward math is reproduced; key names match the released
+# checkpoints exactly so state_dicts round-trip.
+# --------------------------------------------------------------------------
+
+def get_activation(name):
+    return {"silu": nn.SiLU(), "swish": nn.SiLU(), "relu": nn.ReLU(),
+            "gelu": nn.GELU(), "mish": nn.Mish()}[name]
+
+
+class DiagonalGaussianDistribution:
+    def __init__(self, parameters, deterministic=False):
+        self.parameters = parameters
+        self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+        self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        self.std = torch.exp(0.5 * self.logvar)
+        self.var = torch.exp(self.logvar)
+        if deterministic:
+            self.std = self.var = torch.zeros_like(self.mean)
+
+    def sample(self, generator=None):
+        noise = torch.randn(self.mean.shape, generator=generator,
+                            dtype=self.mean.dtype)
+        return self.mean + self.std * noise
+
+    def mode(self):
+        return self.mean
+
+
+class DecoderOutput(BaseOutput):
+    def __init__(self, sample):
+        super().__init__(sample=sample)
+
+
+class AutoencoderKLOutput(BaseOutput):
+    def __init__(self, latent_dist):
+        super().__init__(latent_dist=latent_dist)
+
+
+def apply_forward_hook(fn):
+    return fn
+
+
+class VAEResnetBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, groups=32, eps=1e-6):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, in_channels, eps=eps)
+        self.conv1 = nn.Conv2d(in_channels, out_channels, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, out_channels, eps=eps)
+        self.dropout = nn.Dropout(0.0)
+        self.conv2 = nn.Conv2d(out_channels, out_channels, 3, padding=1)
+        self.nonlinearity = nn.SiLU()
+        self.conv_shortcut = (nn.Conv2d(in_channels, out_channels, 1)
+                              if in_channels != out_channels else None)
+
+    def forward(self, x):
+        h = self.conv1(self.nonlinearity(self.norm1(x)))
+        h = self.conv2(self.dropout(self.nonlinearity(self.norm2(h))))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class VAEMidAttention(nn.Module):
+    """diffusers Attention as configured by UNetMidBlock2D: single head
+    (head_dim == channels), group-norm, residual connection, spatial input."""
+
+    def __init__(self, channels, groups=32, eps=1e-6):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, channels, eps=eps)
+        self.to_q = nn.Linear(channels, channels)
+        self.to_k = nn.Linear(channels, channels)
+        self.to_v = nn.Linear(channels, channels)
+        self.to_out = nn.ModuleList([nn.Linear(channels, channels),
+                                     nn.Dropout(0.0)])
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        h = self.group_norm(x).reshape(B, C, H * W).transpose(1, 2)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        o = F.scaled_dot_product_attention(q.unsqueeze(1), k.unsqueeze(1),
+                                           v.unsqueeze(1)).squeeze(1)
+        o = self.to_out[1](self.to_out[0](o))
+        return x + o.transpose(1, 2).reshape(B, C, H, W)
+
+
+class VAEDownsample2D(nn.Module):
+    def __init__(self, channels):
+        super().__init__()
+        self.conv = nn.Conv2d(channels, channels, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class VAEUpsample2D(nn.Module):
+    def __init__(self, channels):
+        super().__init__()
+        self.conv = nn.Conv2d(channels, channels, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class DownEncoderBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, num_layers, groups,
+                 add_downsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [VAEResnetBlock2D(in_channels if j == 0 else out_channels,
+                              out_channels, groups) for j in range(num_layers)])
+        self.downsamplers = (nn.ModuleList([VAEDownsample2D(out_channels)])
+                             if add_downsample else None)
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+        return x
+
+
+class UpDecoderBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, num_layers, groups,
+                 add_upsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [VAEResnetBlock2D(in_channels if j == 0 else out_channels,
+                              out_channels, groups) for j in range(num_layers)])
+        self.upsamplers = (nn.ModuleList([VAEUpsample2D(out_channels)])
+                           if add_upsample else None)
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class UNetMidBlock2D(nn.Module):
+    def __init__(self, channels, groups=32, add_attention=True):
+        super().__init__()
+        self.resnets = nn.ModuleList([VAEResnetBlock2D(channels, channels, groups),
+                                      VAEResnetBlock2D(channels, channels, groups)])
+        self.attentions = nn.ModuleList(
+            [VAEMidAttention(channels, groups)] if add_attention else [None])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        if self.attentions[0] is not None:
+            x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class VAEEncoder(nn.Module):
+    def __init__(self, in_channels, latent_channels, block_out_channels,
+                 layers_per_block, groups, mid_block_add_attention=True):
+        super().__init__()
+        self.conv_in = nn.Conv2d(in_channels, block_out_channels[0], 3, padding=1)
+        blocks = []
+        ch_in = block_out_channels[0]
+        for i, ch in enumerate(block_out_channels):
+            blocks.append(DownEncoderBlock2D(
+                ch_in, ch, layers_per_block, groups,
+                add_downsample=i < len(block_out_channels) - 1))
+            ch_in = ch
+        self.down_blocks = nn.ModuleList(blocks)
+        self.mid_block = UNetMidBlock2D(block_out_channels[-1], groups,
+                                        mid_block_add_attention)
+        self.conv_norm_out = nn.GroupNorm(groups, block_out_channels[-1], eps=1e-6)
+        self.conv_act = nn.SiLU()
+        self.conv_out = nn.Conv2d(block_out_channels[-1], 2 * latent_channels,
+                                  3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for b in self.down_blocks:
+            h = b(h)
+        h = self.mid_block(h)
+        return self.conv_out(self.conv_act(self.conv_norm_out(h)))
+
+
+class VAEDecoder(nn.Module):
+    def __init__(self, out_channels, latent_channels, block_out_channels,
+                 layers_per_block, groups, mid_block_add_attention=True):
+        super().__init__()
+        self.conv_in = nn.Conv2d(latent_channels, block_out_channels[-1], 3,
+                                 padding=1)
+        self.mid_block = UNetMidBlock2D(block_out_channels[-1], groups,
+                                        mid_block_add_attention)
+        rev = list(reversed(block_out_channels))
+        blocks = []
+        ch_in = rev[0]
+        for i, ch in enumerate(rev):
+            blocks.append(UpDecoderBlock2D(
+                ch_in, ch, layers_per_block + 1, groups,
+                add_upsample=i < len(rev) - 1))
+            ch_in = ch
+        self.up_blocks = nn.ModuleList(blocks)
+        self.conv_norm_out = nn.GroupNorm(groups, rev[-1], eps=1e-6)
+        self.conv_act = nn.SiLU()
+        self.conv_out = nn.Conv2d(rev[-1], out_channels, 3, padding=1)
+
+    def forward(self, z):
+        h = self.conv_in(z)
+        h = self.mid_block(h)
+        for b in self.up_blocks:
+            h = b(h)
+        return self.conv_out(self.conv_act(self.conv_norm_out(h)))
+
+
+class AutoencoderKL(ModelMixin, ConfigMixin):
+    """Key-compatible eval-time AutoencoderKL. `from_pretrained` does NOT
+    download: it constructs from `AutoencoderKL.test_config` (set by tests)
+    or the SD-VAE default architecture, random-init — converted-weights
+    parity tests only need architecture + key fidelity."""
+
+    test_config = None
+
+    def __init__(self, in_channels=3, out_channels=3,
+                 block_out_channels=(128, 256, 512, 512), layers_per_block=2,
+                 latent_channels=4, norm_num_groups=32,
+                 mid_block_add_attention=True, scaling_factor=0.18215):
+        super().__init__()
+        self.encoder = VAEEncoder(in_channels, latent_channels,
+                                  block_out_channels, layers_per_block,
+                                  norm_num_groups, mid_block_add_attention)
+        self.decoder = VAEDecoder(out_channels, latent_channels,
+                                  block_out_channels, layers_per_block,
+                                  norm_num_groups, mid_block_add_attention)
+        self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+        self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+        self._internal_dict = _FrozenConfig(
+            in_channels=in_channels, out_channels=out_channels,
+            block_out_channels=tuple(block_out_channels),
+            layers_per_block=layers_per_block,
+            latent_channels=latent_channels,
+            norm_num_groups=norm_num_groups,
+            scaling_factor=scaling_factor)
+
+    @classmethod
+    def from_pretrained(cls, *a, **k):
+        return cls(**(cls.test_config or {}))
+
+    def encode(self, x):
+        return AutoencoderKLOutput(
+            DiagonalGaussianDistribution(self.quant_conv(self.encoder(x))))
+
+    def decode(self, z):
+        return DecoderOutput(self.decoder(self.post_quant_conv(z)))
+
+
+class AutoencoderKLTemporalDecoder:
+    @classmethod
+    def from_pretrained(cls, *a, **k):
+        raise NotImplementedError(
+            "VideoAutoencoderKLTemporalDecoder (Open-Sora v1.1 pixel VAE) is "
+            "not exercised by the parity tests")

@@ -81,6 +81,16 @@ def install_stubs():
     _module("diffusers.models.attention", Attention=D.Attention,
             FeedForward=D.FeedForward,
             GatedSelfAttentionDense=D.GatedSelfAttentionDense)
+    _module("diffusers.models.activations", GEGLU=D.GEGLU, GELU=D.GELU,
+            ApproximateGELU=D.ApproximateGELU,
+            get_activation=D.get_activation)
+    _module("diffusers.models.autoencoders")
+    _module("diffusers.models.autoencoders.vae", DecoderOutput=D.DecoderOutput,
+            DiagonalGaussianDistribution=D.DiagonalGaussianDistribution)
+    _module("diffusers.loaders.single_file_model",
+            FromOriginalModelMixin=D.FromOriginalModelMixin)
+    _module("diffusers.utils.accelerate_utils",
+            apply_forward_hook=D.apply_forward_hook)
     _module("diffusers.loaders", FromOriginalModelMixin=D.FromOriginalModelMixin,
             PeftAdapterMixin=D.PeftAdapterMixin)
     _module("diffusers.models.transformers")
@@ -106,7 +116,8 @@ def install_stubs():
             LoRACompatibleLinear=D.LoRACompatibleLinear)
     _module("diffusers.models.modeling_utils", ModelMixin=D.ModelMixin)
     _module("diffusers.models.modeling_outputs",
-            Transformer2DModelOutput=D.Transformer2DModelOutput)
+            Transformer2DModelOutput=D.Transformer2DModelOutput,
+            AutoencoderKLOutput=D.AutoencoderKLOutput)
     _module("diffusers.models.normalization", AdaLayerNorm=D.AdaLayerNorm,
             AdaLayerNormZero=D.AdaLayerNormZero,
             AdaLayerNormSingle=D.AdaLayerNormSingle,
@@ -118,7 +129,28 @@ def install_stubs():
             scale_lora_layers=D.scale_lora_layers)
     _module("diffusers.utils.torch_utils",
             maybe_allow_in_graph=D.maybe_allow_in_graph)
+    dmodels.AutoencoderKL = D.AutoencoderKL
+    dmodels.AutoencoderKLTemporalDecoder = D.AutoencoderKLTemporalDecoder
+    diffusers.ConfigMixin = D.ConfigMixin
+    diffusers.ModelMixin = D.ModelMixin
     diffusers.models = dmodels
+
+    class _DiffLogging:
+        @staticmethod
+        def get_logger(name=None):
+            import logging
+            return logging.getLogger(name or "diffusers")
+
+        @staticmethod
+        def set_verbosity_error():
+            pass
+
+    sys.modules["diffusers.utils"].logging = _DiffLogging()
+
+    import torch as _torch  # torchvision is absent from the image
+    tv = _module("torchvision")
+    tv_t = _module("torchvision.transforms", Lambda=lambda f: f)
+    tv.transforms = tv_t
 
     class _ProcessGroupMesh:
         def __init__(self, *a, **k):

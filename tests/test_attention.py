@@ -67,3 +67,77 @@ def test_flash_grad_flows():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("B,H,Nq,Nk,D", [
+    (1, 2, 128, 128, 32),     # aligned
+    (2, 2, 150, 150, 24),     # unaligned Nq/Nk/D -> padding paths
+    (1, 4, 200, 40, 72),      # short KV (temporal-attention-like)
+])
+def test_flash_bwd_kernel_grad_parity(B, H, Nq, Nk, D):
+    """The Pallas single-pass backward (dq/dk/dv in one kernel, softmax
+    stats recomputed from the whole KV row) must match the fp32 reference
+    VJP to <=1e-4 (VERDICT r2 Next #3)."""
+    q, k, v = _mk((B, H, Nq, D), 3), _mk((B, H, Nk, D), 4), _mk((B, H, Nk, D), 5)
+    ct = _mk((B, H, Nq, D), 6)
+
+    def f_flash(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, interpret=True), ct)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(reference_attention(q, k, v), ct)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_flash_bwd_kernel_grad_parity_masked():
+    """Ragged text mask: gradients must be exactly zero w.r.t. masked k/v
+    positions and match the reference elsewhere."""
+    B, H, Nq, Nk, D = 2, 2, 130, 96, 32
+    q, k, v = _mk((B, H, Nq, D), 7), _mk((B, H, Nk, D), 8), _mk((B, H, Nk, D), 9)
+    lens = np.array([50, 96])
+    kv_mask = jnp.asarray(np.arange(Nk)[None, :] < lens[:, None])
+    ct = _mk((B, H, Nq, D), 10)
+
+    def f_flash(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, kv_mask=kv_mask,
+                                        interpret=True), ct)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(reference_attention(q, k, v, kv_mask=kv_mask), ct)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+    # masked kv positions get zero gradient
+    mask_np = np.asarray(kv_mask)
+    for g in (g_flash[1], g_flash[2]):
+        assert np.all(np.asarray(g)[~mask_np.astype(bool)[:, None, :, None]
+                      .repeat(H, 1).repeat(D, 3)] == 0.0)
+
+
+def test_self_attention_kv_mask_matches_slicing():
+    """SelfAttention with trailing-pad kv_mask == unpadded SelfAttention on
+    the real tokens (the mesh-divisibility padding contract, stdit3)."""
+    import flax.linen as nn_  # noqa: F401
+    from videosys_tpu.models.modules.blocks import SelfAttention
+
+    B, N, C, H = 2, 24, 32, 4
+    pad = 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    mask = jnp.asarray(np.arange(N + pad)[None, :].repeat(B, 0) < N)
+
+    attn = SelfAttention(dim=C, num_heads=H)
+    params = attn.init(jax.random.key(0), x)
+    want = attn.apply(params, x)
+    got = attn.apply(params, xp, kv_mask=mask)[:, :N]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -154,3 +154,60 @@ def test_set_distributed_state_env_parsing(monkeypatch):
     assert node_rank == 5 // n and node_size == 16 // n
     import os
     assert os.environ["MASTER_ADDR"] == "localhost"
+
+
+def test_multichip_train_step_has_no_replication_fallback(capfd):
+    """VERDICT r2 Next #2: the compiled dp2xsp4 ZeRO-1 train step must not
+    hit GSPMD's "Involuntary full rematerialization" fallback (which
+    replicates activations where DSP should move 1/sp of them). Root cause
+    was the ZeRO-1 moment sharding propagating backward into activation
+    cotangents; train_step pins grads replicated at the AD boundary
+    (_pin_grads_replicated). The partitioner emits the fallback as a C++
+    warning on stderr at compile time, so compile and scan fd-level stderr."""
+    from videosys_tpu.core import parallel as par
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+    from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
+    from videosys_tpu.training.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        zero1_shardings,
+    )
+
+    mesh = build_mesh(ParallelConfig(dp_size=2, cp_size=1, sp_size=4))
+    config = STDiT3Config(depth=2, hidden_size=32, num_heads=2,
+                          caption_channels=16, model_max_length=8)
+    model = STDiT3(config, remat=True)
+    scheduler = RFlowScheduler(RFlowConfig(use_timestep_transform=True))
+    tx = make_optimizer(lr=1e-4, warmup_steps=10)
+
+    B, T, H, W, L = 2, 4, 8, 8, 8
+    batch = {
+        "x": jnp.zeros((B, 4, T, H, W)),
+        "y": jnp.zeros((B, L, config.caption_channels)),
+        "kv_mask": jnp.ones((B, L), bool),
+        "fps": jnp.full((B,), 24.0),
+    }
+    params = model.init(jax.random.key(0), batch["x"][:1], jnp.zeros((1,)),
+                        batch["y"][:1], kv_mask=batch["kv_mask"][:1],
+                        fps=batch["fps"][:1], height=64.0, width=64.0)
+    state = create_train_state(params, tx)
+    step = make_train_step(model, scheduler, tx, height=64.0, width=64.0,
+                           num_frames=17)
+
+    state_sh = zero1_shardings(mesh, state)
+    batch_sh = {k: NamedSharding(mesh, P(("dp", "cp"))) for k in batch}
+    rng_sh = NamedSharding(mesh, P())
+
+    capfd.readouterr()  # drop anything buffered before the compile
+    with use_mesh(mesh):
+        compiled = jax.jit(
+            step, in_shardings=(state_sh, rng_sh, batch_sh),
+        ).lower(state,
+                jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rng_sh),
+                batch).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+    # and the DSP flip still materializes as all-to-all collectives
+    hlo = compiled.as_text()
+    assert "all-to-all" in hlo or "all_to_all" in hlo

@@ -264,3 +264,222 @@ def test_vchitect_full_model_parity():
         jnp.asarray(pooled.numpy()),
         jnp.asarray(t.numpy().astype(np.float32))))
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+# --------------------------------------------------------------------------- #
+# VAE parity (VERDICT r2 Next #4): the pixel path against the actual
+# reference VAE files.
+# --------------------------------------------------------------------------- #
+
+def test_open_sora_vae_pipeline_parity():
+    """VideoAutoencoderPipeline (autoencoder_kl_open_sora.py:621-761) vs
+    OpenSoraVAE: spatial + temporal encoder MOMENTS and the full
+    deterministic decode (17-frame chunk math + channel shift/scale +
+    micro-batched spatial decode) on converted weights."""
+    import diffusers_stub as D
+
+    from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+        SCALE, SHIFT, OpenSoraVAE, OpenSoraVAEConfig)
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
+
+    m = ref_torch.load("videosys.models.autoencoders.autoencoder_kl_open_sora")
+    torch.manual_seed(0)
+    # small spatial VAE via the stub's from_pretrained override; temporal VAE
+    # is the real VAE_Temporal_SD architecture at full width (tiny inputs)
+    D.AutoencoderKL.test_config = dict(
+        block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4,
+        latent_channels=4)
+    try:
+        cfg = m.VideoAutoencoderPipelineConfig(
+            micro_frame_size=17, shift=list(SHIFT), scale=list(SCALE))
+        ref = m.VideoAutoencoderPipeline(cfg).eval()
+    finally:
+        D.AutoencoderKL.test_config = None
+
+    vae = OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(block_out_channels=(8, 16),
+                                layers_per_block=1, num_groups=4),
+        temporal=VAETemporal(),
+    )
+    params = C.convert_open_sora_vae(_sd(ref), n_spatial_blocks=2)
+
+    # --- spatial encoder moments ------------------------------------------ #
+    x_img = torch.randn(3, 3, 12, 12)
+    with torch.no_grad():
+        want = ref.spatial_vae.module.encode(x_img).latent_dist.parameters.numpy()
+    got = vae.spatial.apply(params["spatial"],
+                            jnp.asarray(x_img.numpy().transpose(0, 2, 3, 1)),
+                            method="encode")
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-5, rtol=2e-5)
+
+    # --- temporal encoder moments ----------------------------------------- #
+    x_z = torch.randn(1, 4, 17, 4, 4)
+    with torch.no_grad():
+        post = ref.temporal_vae.encode(x_z)
+    mean, logvar = vae.temporal.apply(
+        params["temporal"], jnp.asarray(x_z.numpy().transpose(0, 2, 3, 4, 1)),
+        method="encode_moments")
+    np.testing.assert_allclose(np.asarray(mean).transpose(0, 4, 1, 2, 3),
+                               post.mean.numpy(), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(logvar).transpose(0, 4, 1, 2, 3),
+                               post.logvar.numpy(), atol=2e-5, rtol=2e-5)
+
+    # --- full pipeline decode (deterministic end-to-end) ------------------- #
+    num_frames = 34  # two 17-frame chunks -> exercises the chunk seams
+    t_lat = ref.micro_z_frame_size * 2
+    z = torch.randn(1, 4, t_lat, 4, 4)
+    with torch.no_grad():
+        want_dec = ref.decode(z, num_frames=num_frames).numpy()
+    got_dec = np.asarray(vae.decode(params, jnp.asarray(z.numpy()),
+                                    num_frames=num_frames))
+    assert got_dec.shape == want_dec.shape
+    np.testing.assert_allclose(got_dec, want_dec, atol=5e-5, rtol=5e-5)
+
+
+def test_cogvideox_vae_parity():
+    """AutoencoderKLCogVideoX (autoencoder_kl_cogvideox.py:872-1257) vs the
+    TPU rebuild: encode moments + decode pixels on converted weights (causal
+    replicate-pad convs, SpatialNorm3D decoder, temporal 4x compression)."""
+    from videosys_tpu.models.autoencoders.autoencoder_cogvideox import (
+        AutoencoderKLCogVideoX, CogVideoXVAEConfig)
+
+    m = ref_torch.load("videosys.models.autoencoders.autoencoder_kl_cogvideox")
+    torch.manual_seed(0)
+    kw = dict(in_channels=3, out_channels=3,
+              block_out_channels=(8, 16, 16, 16), latent_channels=4,
+              layers_per_block=1, norm_num_groups=4,
+              temporal_compression_ratio=4)
+    ref = m.AutoencoderKLCogVideoX(**kw).eval()
+
+    vae = AutoencoderKLCogVideoX(CogVideoXVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16, 16, 16),
+        layers_per_block=1, norm_num_groups=4, temporal_compression_ratio=4))
+    params = C.convert_cogvideox_vae(_sd(ref), n_blocks=4,
+                                                   layers_per_block=1)
+
+    # encode moments (deterministic part of encode)
+    x = torch.randn(1, 3, 5, 32, 32)
+    with torch.no_grad():
+        want_m = ref.encode(x).latent_dist.parameters.numpy()
+    xl = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    got_m = vae.encoder.apply(params["encoder"], xl)
+    np.testing.assert_allclose(np.asarray(got_m).transpose(0, 4, 1, 2, 3),
+                               want_m, atol=3e-5, rtol=3e-5)
+
+    # decode
+    z = torch.randn(1, 4, 2, 4, 4)
+    with torch.no_grad():
+        want_d = ref.decode(z).sample.numpy()
+    got_d = np.asarray(vae.decode(params, jnp.asarray(z.numpy())))
+    assert got_d.shape == want_d.shape
+    np.testing.assert_allclose(got_d, want_d, atol=5e-5, rtol=5e-5)
+
+
+def test_osp_causal_vae_v110_parity():
+    """OSP v1.1 CausalVAEModel (autoencoder_kl_open_sora_plan_v110.py
+    :357-798) vs the registry-built CausalVAEModule: encode moments +
+    decode on converted weights (CausalConv3d stack, AttnBlock3D mid,
+    TimeDownsample2x avg-pool / TimeUpsample2x interpolation)."""
+    from videosys_tpu.models.autoencoders.autoencoder_causal_vae import (
+        CausalVAEConfig, CausalVAEModule)
+
+    m = ref_torch.load(
+        "videosys.models.autoencoders.autoencoder_kl_open_sora_plan_v110")
+    torch.manual_seed(0)
+    kw = dict(hidden_size=32, z_channels=4, embed_dim=4,
+              hidden_size_mult=(1, 2), num_res_blocks=1, resolution=32,
+              encoder_resnet_blocks=("ResnetBlock3D",) * 2,
+              # downsamples live on NON-terminal levels only: the reference
+              # encoder forward feeds `h` (last res block) into the mid
+              # block, silently discarding a last-level downsample
+              # (v110 :227-243) — released configs never have one there
+              encoder_spatial_downsample=("SpatialDownsample2x", ""),
+              encoder_temporal_downsample=("TimeDownsample2x", ""),
+              decoder_resnet_blocks=("ResnetBlock3D",) * 2,
+              decoder_spatial_upsample=("", "SpatialUpsample2x"),
+              decoder_temporal_upsample=("", "TimeUpsample2x"))
+    ref = m.CausalVAEModel(**kw).eval()
+
+    cfg = CausalVAEConfig(
+        hidden_size=32, z_channels=4, embed_dim=4, hidden_size_mult=(1, 2),
+        num_res_blocks=1, resolution=32,
+        encoder_resnet_blocks=("ResnetBlock3D",) * 2,
+        encoder_spatial_downsample=("SpatialDownsample2x", ""),
+        encoder_temporal_downsample=("TimeDownsample2x", ""),
+        decoder_resnet_blocks=("ResnetBlock3D",) * 2,
+        decoder_spatial_upsample=("", "SpatialUpsample2x"),
+        decoder_temporal_upsample=("", "TimeUpsample2x"))
+    module = CausalVAEModule(cfg)
+    params = C.convert_causal_vae(_sd(ref), cfg)
+
+    x = torch.randn(1, 3, 5, 16, 16)
+    with torch.no_grad():
+        want_m = ref.encode(x).parameters.numpy()
+    got_m = module.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1)),
+                         method="encode_moments")
+    np.testing.assert_allclose(np.asarray(got_m).transpose(0, 4, 1, 2, 3),
+                               want_m, atol=3e-5, rtol=3e-5)
+
+    z = torch.randn(1, 4, 2, 8, 8)
+    with torch.no_grad():
+        want_d = ref.decode(z).numpy()
+    got_d = module.apply(params, jnp.asarray(z.numpy().transpose(0, 2, 3, 4, 1)),
+                         method="decode")
+    np.testing.assert_allclose(np.asarray(got_d).transpose(0, 4, 1, 2, 3),
+                               want_d, atol=1e-4, rtol=1e-4)
+
+
+def test_osp_causal_vae_v120_parity():
+    """OSP v1.2 CausalVAEModel (autoencoder_kl_open_sora_plan_v120.py
+    :741-1110): AttnBlock3DFix, Downsample (2D), Spatial2xTime2x3D
+    down/upsample, SpatialUpsample2x."""
+    from videosys_tpu.models.autoencoders.autoencoder_causal_vae import (
+        CausalVAEConfig, CausalVAEModule)
+
+    m = ref_torch.load(
+        "videosys.models.autoencoders.autoencoder_kl_open_sora_plan_v120")
+    torch.manual_seed(0)
+    kw = dict(hidden_size=32, z_channels=4, embed_dim=4,
+              hidden_size_mult=(1, 1, 2), num_res_blocks=1, resolution=32,
+              encoder_attention="AttnBlock3DFix",
+              decoder_attention="AttnBlock3DFix",
+              encoder_resnet_blocks=("ResnetBlock3D",) * 3,
+              encoder_spatial_downsample=(
+                  "Downsample", "Spatial2xTime2x3DDownsample", ""),
+              encoder_temporal_downsample=("", "", ""),
+              decoder_resnet_blocks=("ResnetBlock3D",) * 3,
+              decoder_spatial_upsample=(
+                  "", "Spatial2xTime2x3DUpsample", "SpatialUpsample2x"),
+              decoder_temporal_upsample=("", "", ""))
+    ref = m.CausalVAEModel(**kw).eval()
+
+    cfg = CausalVAEConfig.v120(
+        hidden_size=32, z_channels=4, embed_dim=4, hidden_size_mult=(1, 1, 2),
+        num_res_blocks=1, resolution=32,
+        encoder_resnet_blocks=("ResnetBlock3D",) * 3,
+        encoder_spatial_downsample=(
+            "Downsample", "Spatial2xTime2x3DDownsample", ""),
+        decoder_resnet_blocks=("ResnetBlock3D",) * 3,
+        decoder_spatial_upsample=(
+            "", "Spatial2xTime2x3DUpsample", "SpatialUpsample2x"))
+    module = CausalVAEModule(cfg)
+    params = C.convert_causal_vae(_sd(ref), cfg)
+
+    x = torch.randn(1, 3, 5, 16, 16)
+    with torch.no_grad():
+        want_m = ref.encode(x).parameters.numpy()
+    got_m = module.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1)),
+                         method="encode_moments")
+    np.testing.assert_allclose(np.asarray(got_m).transpose(0, 4, 1, 2, 3),
+                               want_m, atol=3e-5, rtol=3e-5)
+
+    z = torch.randn(1, 4, 2, 4, 4)
+    with torch.no_grad():
+        want_d = ref.decode(z).numpy()
+    got_d = module.apply(params, jnp.asarray(z.numpy().transpose(0, 2, 3, 4, 1)),
+                         method="decode")
+    np.testing.assert_allclose(np.asarray(got_d).transpose(0, 4, 1, 2, 3),
+                               want_d, atol=1e-4, rtol=1e-4)

@@ -563,3 +563,76 @@ def test_zero1_prefix_fallback_and_fraction():
     total = sum(v.nbytes for v in opt.values())
     sharded = sum(opt[k].nbytes for k in ("big", "med", "odd"))
     assert abs(frac - sharded / total) < 1e-6
+
+
+def test_dcp_bs_escalation_ladder():
+    """VERDICT r2 Next #7: after a fit is found, the profiler doubles bs
+    while the compiled memory plan fits and the sampler consumes the
+    discovered max-fit bs (reference bs-doubling, profiler.py:498-764)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu.core.dcp import Profiler
+    from videosys_tpu.training.buckets import Bucket
+    from videosys_tpu.training.sampler import VariableVideoBatchSampler
+
+    bucket = Bucket({"144p": {1: (1.0, 1)}})  # configured bs = 1
+
+    def step_builder(thw, bs, sp):
+        # memory grows linearly with bs: bs MiB of f32 argument
+        n = bs * (1 << 18)
+        fn = jax.jit(lambda x: (x * 2.0).sum())
+        return fn, (jnp.zeros((n,), jnp.float32),)
+
+    # measured: the compiled plan costs ~2.13 MiB per unit bs (arg + temp
+    # copy), so a 9 MiB budget fits bs 1, 2, 4 and rejects 8
+    prof = Profiler(bucket, step_builder, memory_budget_bytes=9 << 20,
+                    alloc_memory_fraction=1.0, measure_wall_time=False)
+    prof.profile_all()
+    p = next(iter(prof.results.values()))
+    assert p.fits and p.bs == 4, p
+
+    planner = prof.make_planner()
+    bid = p.bucket_id
+    assert planner.bs(bid) == 4
+
+    # the sampler's plans carry the escalated bs
+    shapes = [(1, 144, 256)] * 16
+    sampler = VariableVideoBatchSampler(bucket, shapes, batch_multiplier=1,
+                                        seed=0, planner=planner)
+    plans = list(sampler)
+    assert plans and all(len(pl.micro_batches()[0]) == 4 for pl in plans)
+
+
+def test_caption_dropout_trains_null_embedding():
+    """Caption dropout (reference class_dropout_prob, embeddings.py:210-226)
+    must route gradient into y_embedder.y_embedding — the CFG uncond branch
+    is a TRAINED parameter, not random init."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+    from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
+    from videosys_tpu.training.train_step import _make_loss_fn
+
+    mc = STDiT3Config(depth=1, hidden_size=32, num_heads=2,
+                      caption_channels=16, model_max_length=8)
+    model = STDiT3(mc)
+    sched = RFlowScheduler(RFlowConfig(use_timestep_transform=True))
+    batch = {
+        "x": jnp.ones((2, 4, 2, 8, 8)) * 0.1,
+        "y": jnp.ones((2, 8, 16)) * 0.3,
+        "kv_mask": jnp.ones((2, 8), bool),
+        "fps": jnp.full((2,), 24.0),
+    }
+    params = model.init(jax.random.key(0), batch["x"], jnp.zeros((2,)),
+                        batch["y"], kv_mask=batch["kv_mask"],
+                        fps=batch["fps"], height=64.0, width=64.0)
+
+    def grad_null(prob):
+        loss_fn = _make_loss_fn(model, sched, 64.0, 64.0, 17, prob)
+        g = jax.grad(loss_fn)(params, jax.random.key(1), batch)
+        return np.asarray(g["params"]["y_embedder"]["y_embedding"])
+
+    assert np.abs(grad_null(1.0)).max() > 0, "dropout=1 must train the null"
+    assert np.abs(grad_null(0.0)).max() == 0, "dropout=0 must not touch it"

@@ -95,3 +95,38 @@ def test_get_latent_size():
     # full-size composition reproduces the reference /8 spatial factor
     full = OpenSoraVAE(OpenSoraVAEConfig(micro_frame_size=17))
     assert full.get_latent_size((51, 480, 854)) == [15, 60, 106]
+
+
+def test_streaming_u8_decode_matches_whole_decode():
+    """decode_chunks_u8 (streaming, per-chunk uint8) must reproduce
+    decode() + the pipeline's uint8 postprocess math exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
+        OpenSoraVAE, OpenSoraVAEConfig)
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
+
+    vae = OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(mid_block_add_attention=False,
+                                block_out_channels=(8, 16),
+                                layers_per_block=1, num_groups=4),
+        temporal=VAETemporal(filters=8, num_res_blocks=1, num_groups=4),
+    )
+    params = vae.init(jax.random.key(0))
+    num_frames = 34  # two 17-frame chunks
+    t_lat, h, w = vae.get_latent_size((num_frames, 32, 32))
+    z = jax.random.normal(jax.random.key(1),
+                          (1, vae.out_channels, t_lat, h, w), jnp.float32)
+
+    whole = vae.decode(params, z, num_frames=num_frames)
+    u8_ref = jnp.clip((jnp.clip(whole, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
+    u8_ref = np.asarray(jnp.transpose(u8_ref, (0, 2, 3, 4, 1)).astype(jnp.uint8))
+
+    chunks = vae.decode_chunks_u8(params, z, num_frames)
+    assert len(chunks) == 2
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    assert got.shape == u8_ref.shape and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, u8_ref)

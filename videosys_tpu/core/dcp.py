@@ -61,6 +61,8 @@ class Profiler:
         measure_wall_time: bool = True,
         alloc_memory_fraction: float = 0.70,
         remat_candidates: Tuple[str, ...] = ("full",),
+        bs_escalate: bool = True,
+        max_bs: int = 128,
     ):
         self.bucket = bucket
         self.step_builder = step_builder
@@ -86,6 +88,12 @@ class Profiler:
         except (TypeError, ValueError):
             self._builder_takes_policy = False
         self.measure_wall_time = measure_wall_time
+        # bs ladder: after a (sp, policy) fit is found, keep DOUBLING bs
+        # while the compiled memory plan still fits (reference bs-doubling
+        # until OOM, profiler.py:498-764) — per-bucket max-batch discovery
+        # is half of DCP's training win
+        self.bs_escalate = bs_escalate
+        self.max_bs = max_bs
         self.results: Dict[BucketId, BucketProfile] = {}
         self.failures: list[dict] = []
 
@@ -155,8 +163,45 @@ class Profiler:
             last = BucketProfile(bucket_id, bs, self.sp_candidates[0],
                                  float("inf"), 0, 0.0, False,
                                  policies[-1])
+        if last.fits and self.bs_escalate:
+            last = self._escalate_bs(thw, last)
         self.results[bucket_id] = last
         return last
+
+    def _escalate_bs(self, thw, prof: BucketProfile) -> BucketProfile:
+        """Double bs at the fitting (sp, policy) while the compiled plan
+        fits the budget (static-analysis OOM probe — no fragile trial runs,
+        unlike the reference's CUDA OOM-catch ladder)."""
+        best = prof
+        bs = prof.bs * 2
+        while bs <= self.max_bs:
+            try:
+                mem_bytes, flops, compiled, args = self._analyze(
+                    thw, bs, prof.sp, prof.remat_policy)
+            except Exception as e:
+                self.failures.append(
+                    {"bucket": prof.bucket_id, "bs": bs, "sp": prof.sp,
+                     "policy": prof.remat_policy,
+                     "error": f"{type(e).__name__}: {e}"})
+                break
+            if mem_bytes > self.memory_budget:
+                break
+            t = flops / 1e12
+            if self.measure_wall_time:
+                out = compiled(*args)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                out = compiled(*args)
+                jax.block_until_ready(out)
+                t = time.perf_counter() - t0
+            best = BucketProfile(prof.bucket_id, bs, prof.sp, t, mem_bytes,
+                                 flops, True, prof.remat_policy)
+            bs *= 2
+        if best.bs != prof.bs:
+            logger.info("DCP bs ladder: bucket=%s bs %d -> %d (mem %.2f GiB)",
+                        prof.bucket_id, prof.bs, best.bs,
+                        best.memory_bytes / 2**30)
+        return best
 
     def profile_all(self) -> Dict[BucketId, BucketProfile]:
         for hw_id, t_probs in self.bucket.bucket_probs.items():
@@ -173,7 +218,8 @@ class Profiler:
         (optimize_dynamics :799-822: balance every step to the slowest
         bucket's step time)."""
         profile = {
-            bid: {"time": p.time, "sp": p.sp, "remat_policy": p.remat_policy}
+            bid: {"time": p.time, "sp": p.sp, "remat_policy": p.remat_policy,
+                  "bs": p.bs}
             for bid, p in self.results.items() if p.fits
         }
         target = max((p["time"] for p in profile.values()), default=None)

@@ -187,6 +187,24 @@ def ulysses_shard_seq(x):
     return _constrain(x, P(BATCH_AXES, SP_AXIS, None, None))
 
 
+def token_pad_multiple() -> int:
+    """Divisibility requirement for token dims (T, S) under the active mesh.
+
+    GSPMD handles uneven shards *correctly* (implicit padding), but at real
+    shapes the reshape+reshard combos of the DSP flips hit the partitioner's
+    "involuntary full rematerialization" fallback when the flipped dim is not
+    divisible by sp — replicating multi-GiB activations (observed at
+    2s/480p: S=1590, T=15 with sp=4). Models therefore pad T/S up to this
+    multiple at patchify time and mask the pad in attention — the TPU analog
+    of the reference's pad registry + all_to_all_with_pad
+    (comm.py:268-304). Returns 1 when no mesh is active (single chip pays
+    nothing)."""
+    mesh = active_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return 1
+    return mesh_axis_size(mesh, SP_AXIS)
+
+
 def io_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for pipeline inputs/outputs [B, C, T, H, W]: batch over dp+cp."""
     return NamedSharding(mesh, P(BATCH_AXES))

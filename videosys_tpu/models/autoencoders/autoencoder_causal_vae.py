@@ -170,6 +170,39 @@ class AttnBlock3D(nn.Module):
         return x + h
 
 
+class AttnBlock3DLegacy(nn.Module):
+    """v110 `AttnBlock3D` (:899-936) — the PRE-FIX attention: the reference
+    reshapes [b, c, t, h, w] -> [b*t, c, h*w] WITHOUT moving t in front of c,
+    scrambling channels and time into the attention rows. The released v1.1
+    checkpoint was trained with this bug, so output parity requires
+    reproducing it bit-for-bit (the corrected math lives in AttnBlock3D /
+    AttnBlock3DFix, v110 :939-991)."""
+
+    out_channels: int = 0  # unused
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        h_ = _group_norm(x)
+        q = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="q")(h_)
+        k = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="k")(h_)
+        v = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="v")(h_)
+
+        def scramble(t):  # channel-last -> torch layout -> buggy reshape
+            t = jnp.transpose(t, (0, 4, 1, 2, 3))         # [b, c, t, h, w]
+            return t.reshape(B * T, C, H * W)             # rows mix c and t
+
+        qs, ks, vs = scramble(q), scramble(k), scramble(v)
+        w_ = jnp.einsum("bci,bcj->bij", qs * (C ** -0.5), ks)
+        w_ = jax.nn.softmax(w_, axis=2)
+        h_ = jnp.einsum("bci,bji->bcj", vs, w_)
+        h_ = h_.reshape(B, C, T, H, W)
+        h_ = jnp.transpose(h_, (0, 2, 3, 4, 1))
+        h_ = CausalConv3d(C, (1, 1, 1), dtype=self.dtype, name="proj_out")(h_)
+        return x + h_
+
+
 class SpatialDownsample2x(nn.Module):
     """(v110 :1488-1508): asymmetric (0,1) zero pad then 3x3 stride-2 causal
     conv (time kernel 1)."""
@@ -339,7 +372,9 @@ VAE_OPS = {
     "ResnetBlock2D": ResnetBlock2D,
     "ResnetBlock3D": ResnetBlock3D,
     "AttnBlock": AttnBlock3D,
-    "AttnBlock3D": AttnBlock3D,
+    # v110 "AttnBlock3D" is the pre-fix buggy reshape the released v1.1
+    # checkpoint was trained with; "AttnBlock3DFix" is the corrected math
+    "AttnBlock3D": AttnBlock3DLegacy,
     "AttnBlock3DFix": AttnBlock3D,
     "Downsample": Downsample,
     "SpatialDownsample2x": SpatialDownsample2x,

@@ -170,6 +170,45 @@ class OpenSoraVAE:
         return jit_method(self, "_decode_impl", static_argnums=(2,))(
             params, z, num_frames)
 
+    def decode_chunks_u8(self, params, z: jax.Array, num_frames: int):
+        """Streaming decode: list of DEVICE uint8 chunks [B, nf, H, W, 3]
+        (postprocess layout), one per micro_frame_size chunk, each from its
+        own jitted program. The pipeline starts the device->host copy of
+        chunk i while chunk i+1 is still decoding — on remote-TPU setups the
+        D2H link is slow enough (~8 s for a fp32 2s/480p video) that this
+        overlap plus the fused on-device uint8 conversion removes most of
+        the postprocess phase. Numerically identical to decode() + the
+        pipeline's uint8 conversion (elementwise, chunked on T only)."""
+        from videosys_tpu.utils.jit import jit_method
+
+        mf = self.config.micro_frame_size
+        if mf is None:
+            return [jit_method(self, "_decode_chunk_u8", static_argnums=(2,))(
+                params, z, num_frames)]
+        outs = []
+        remaining = num_frames
+        for i in range(0, z.shape[2], self.micro_z_frame_size):
+            z_bs = z[:, :, i:i + self.micro_z_frame_size]
+            nf = min(mf, remaining)
+            outs.append(jit_method(self, "_decode_chunk_u8",
+                                   static_argnums=(2,))(params, z_bs, nf))
+            remaining -= mf
+        return outs
+
+    def _decode_chunk_u8(self, params, z: jax.Array, num_frames: int) -> jax.Array:
+        """One chunk of _decode_impl + the pipeline's uint8 postprocess math
+        ((clip(x,-1,1)+1)/2*255+0.5 in the [B,T,H,W,3] layout), fused so the
+        transfer moves 1/4 the bytes and no fp32 video is ever materialized."""
+        z = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(self.config.dtype)
+        shift = jnp.asarray(SHIFT, z.dtype)
+        scale = jnp.asarray(SCALE, z.dtype)
+        z = z * scale + shift
+        x_z = self.temporal.apply(params["temporal"], z, num_frames,
+                                  method="decode")
+        x = self.spatial_decode(params, x_z)  # [B, T, H, W, 3]
+        u8 = jnp.clip((jnp.clip(x, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
+        return u8.astype(jnp.uint8)
+
     def _decode_impl(self, params, z: jax.Array, num_frames: int) -> jax.Array:
         z = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         shift = jnp.asarray(SHIFT, z.dtype)

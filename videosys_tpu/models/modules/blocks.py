@@ -39,7 +39,11 @@ class SelfAttention(nn.Module):
     rope_channel: Any = None  # (cos [N, C], sin [N, C]) numpy tables
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 kv_mask: Optional[jax.Array] = None) -> jax.Array:
+        """x: [B, N, C]; kv_mask: optional [B, N] bool (True = real token) —
+        used when the token dim carries mesh-divisibility padding
+        (parallel.token_pad_multiple)."""
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -66,7 +70,8 @@ class SelfAttention(nn.Module):
         if self.rope_channel is None and self.rope is not None:
             q = self.rope(q)
             k = self.rope(k)
-        x = scaled_dot_product_attention(q, k, v, scale=scale)
+        x = scaled_dot_product_attention(q, k, v, scale=scale,
+                                         kv_mask=kv_mask)
         x = jnp.swapaxes(x, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 

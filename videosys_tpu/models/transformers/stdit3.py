@@ -112,6 +112,8 @@ class STDiT3Block(nn.Module):
         mlp_row,                       # [B, T, S, C] cache row (or None)
         mlp_save,                      # [] bool (traced) — write MLP row
         mlp_use,                       # [] bool (traced) — read MLP row
+        s_pad_mask=None,               # [S] bool: mesh-divisibility pad on S
+        t_pad_mask=None,               # [T] bool: mesh-divisibility pad on T
     ) -> Tuple[jax.Array, PABCache]:
         cfg = self.config
         B, T, S, C = x.shape
@@ -153,11 +155,13 @@ class STDiT3Block(nn.Module):
                     np.arange(T, dtype=np.float32),
                     rope_freqs(cfg.hidden_size // cfg.num_heads),
                     cfg.num_heads)
+                t_kv = None if t_pad_mask is None else jnp.broadcast_to(
+                    t_pad_mask[None], (B * S, T))  # pad frames: mask as KV
                 xa = SelfAttention(
                     dim=cfg.hidden_size, num_heads=cfg.num_heads,
                     qk_norm=cfg.qk_norm, dtype=cfg.dtype,
                     rope_channel=rope_ch, name="attn",
-                )(xa)
+                )(xa, kv_mask=t_kv)
                 x_m = rearrange(xa, "(b s) t c -> b t s c", b=B)
             else:
                 # spatial attention: DSP flip S-shard -> T-shard (all-to-all)
@@ -165,10 +169,12 @@ class STDiT3Block(nn.Module):
                 x_m = par.shard_batch_over_all(x_m) if is_image else par.shard_temporal(x_m)
                 xa = x_m.reshape(B * T, S, C)
                 xa = par.shard_merged_rows(xa)
+                s_kv = None if s_pad_mask is None else jnp.broadcast_to(
+                    s_pad_mask[None], (B * T, S))  # pad tokens: mask as KV
                 xa = SelfAttention(
                     dim=cfg.hidden_size, num_heads=cfg.num_heads,
                     qk_norm=cfg.qk_norm, dtype=cfg.dtype, name="attn",
-                )(xa)
+                )(xa, kv_mask=s_kv)
                 x_m = xa.reshape(B, T, S, C)
                 # flip back to the resident S shard (all-to-all)
                 x_m = par.shard_spatial(x_m)
@@ -263,7 +269,8 @@ class STDiT3DepthPair(nn.Module):
     cache_dtype: Any = None
 
     @nn.compact
-    def __call__(self, carry, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask):
+    def __call__(self, carry, scanned, y, t_mlp, t0_mlp, x_mask, kv_mask,
+                 s_pad_mask=None, t_pad_mask=None):
         x, mlp_carries, write_carries = carry
         read_caches, depth_idx, row_idx, mlp_flags = scanned
         plan = self.plan
@@ -294,7 +301,8 @@ class STDiT3DepthPair(nn.Module):
                 mlp_cached=cached, cache_dtype=self.cache_dtype,
                 name=branch,
             )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
-              read_caches.get(branch, {}), row, save, use)
+              read_caches.get(branch, {}), row, save, use,
+              s_pad_mask=s_pad_mask, t_pad_mask=t_pad_mask)
 
             if cached:
                 new_row = w.pop("mlp")
@@ -358,6 +366,12 @@ class STDiT3(nn.Module):
         here the resident footprint is bounded up front)."""
         cfg = self.config
         cdt = self._cache_dtype()
+        # cache shapes carry the same mesh-divisibility padding the forward
+        # applies (call under the same par.use_mesh context as the step fns)
+        m = par.token_pad_multiple()
+        if m > 1:
+            S = -(-S // m) * m
+            T = T if T == 1 else -(-T // m) * m
         shape = (cfg.depth, B, T, S, cfg.hidden_size)
         n_mlp = len(mlp_config_blocks(self.pab_config))
         mlp_shape = (n_mlp, B, T, S, cfg.hidden_size)
@@ -446,6 +460,29 @@ class STDiT3(nn.Module):
         xe = PatchEmbed3D(cfg.patch_size, cfg.hidden_size, dtype=cfg.dtype,
                           name="x_embedder")(x)
         xe = xe.reshape(B, T, S, cfg.hidden_size) + pos[None, None]
+
+        # --- mesh-divisibility padding (pad registry analog) -------------- #
+        # Pad T/S up to the sp multiple so the DSP flips reshard evenly (see
+        # parallel.token_pad_multiple). Padded S tokens are masked as KV in
+        # spatial attention, padded T frames in temporal attention; in every
+        # other op they are inert extra rows, sliced off before unpatchify.
+        T0, S0 = T, S
+        s_pad_mask = t_pad_mask = None
+        m = par.token_pad_multiple()
+        if m > 1:
+            Sp = -(-S // m) * m
+            Tp = T if T == 1 else -(-T // m) * m  # image path never T-shards
+            if Sp != S:
+                s_pad_mask = jnp.arange(Sp) < S
+            if Tp != T:
+                t_pad_mask = jnp.arange(Tp) < T
+                if x_mask is not None:
+                    x_mask = jnp.pad(x_mask, ((0, 0), (0, Tp - T)),
+                                     constant_values=True)
+            if (Tp, Sp) != (T, S):
+                xe = jnp.pad(xe, ((0, 0), (0, Tp - T), (0, Sp - S), (0, 0)))
+                T, S = Tp, Sp
+
         xe = par.shard_spatial(xe)  # resident DSP layout (:598-603)
 
         # --- scanned depth pairs (:607-613) -------------------------------- #
@@ -492,7 +529,7 @@ class STDiT3(nn.Module):
             pair_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0,) + (nn.broadcast,) * 5,
+            in_axes=(0,) + (nn.broadcast,) * 7,
             out_axes=0,
             length=cfg.depth,
             unroll=2,
@@ -501,7 +538,7 @@ class STDiT3(nn.Module):
             config=cfg, plan=plan, cache_dtype=self._cache_dtype(),
             name="blocks",
         )((xe, mlp_carries, write_carries), scanned,
-          y, t_mlp, t0_mlp, x_mask, kv_mask)
+          y, t_mlp, t0_mlp, x_mask, kv_mask, s_pad_mask, t_pad_mask)
 
         # merge: write carries and MLP carries re-enter their slots,
         # untouched slots pass through (aliased by donation)
@@ -531,6 +568,8 @@ class STDiT3(nn.Module):
             xo = t_mask_select(x_mask, xo, xo0)
         xo = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=cfg.dtype,
                       name="final_linear")(xo)
+        if (T, S) != (T0, S0):
+            xo = xo[:, :T0, :S0]  # drop mesh-divisibility padding
 
         # --- unpatchify (:634-658) ---------------------------------------- #
         out = rearrange(

@@ -485,26 +485,47 @@ class OpenSoraPipeline(VideoSysPipeline):
                     self.last_latents = np.asarray(z)
                 cache = None  # free PAB cache HBM before the VAE runs
                 _t0 = _time.perf_counter()
-                clip = self.vae.decode(self.params["vae"], z,
-                                       num_frames=num_frames)
-                np.asarray(clip[..., :1, :1])  # sync for the phase timer
-                _t_vae += _time.perf_counter() - _t0
-                clips.append(clip)
-
-        # stitch loops, dropping duplicated condition frames (:641-643)
-        if loop > 1:
-            dpix = ms_mod.dframe_to_frame(condition_frame_length)
-            clips = [clips[0]] + [c[:, :, dpix:] for c in clips[1:]]
-        samples = jnp.concatenate(clips, axis=2) if len(clips) > 1 else clips[0]
+                if loop == 1:
+                    # streaming decode: per-chunk programs emit uint8 in the
+                    # final layout; the D2H copy of chunk i overlaps the
+                    # decode of chunk i+1 (slow-link postprocess killer)
+                    u8_chunks = self.vae.decode_chunks_u8(
+                        self.params["vae"], z, num_frames)
+                    for c in u8_chunks:
+                        try:
+                            c.copy_to_host_async()
+                        except Exception:  # backends without async copy
+                            pass
+                    # compute-done boundary for the phase timer (any slice
+                    # read waits on the producing program)
+                    float(jnp.sum(
+                        u8_chunks[-1][:, -1:, :8, :8].astype(jnp.float32)))
+                    _t_vae += _time.perf_counter() - _t0
+                    clips.append(u8_chunks)
+                else:
+                    clip = self.vae.decode(self.params["vae"], z,
+                                           num_frames=num_frames)
+                    np.asarray(clip[..., :1, :1])  # sync for the phase timer
+                    _t_vae += _time.perf_counter() - _t0
+                    clips.append(clip)
 
         # --- postprocess (:648-652) ---------------------------------------- #
-        # uint8-convert ON DEVICE: the fp32 video is ~4x the bytes of the
-        # final uint8 frames, and device->host rides a slow link on remote
-        # TPU setups — transfer the small representation
         _t0 = _time.perf_counter()
-        u8 = jnp.clip((jnp.clip(samples, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
-        u8 = jnp.transpose(u8, (0, 2, 3, 4, 1)).astype(jnp.uint8)
-        video = np.asarray(u8)  # [B, T, H, W, C]
+        if loop == 1:
+            # chunks are uint8 on device with transfers already in flight;
+            # assembly is the only host work left
+            video = np.concatenate([np.asarray(c) for c in clips[0]], axis=1)
+        else:
+            # stitch loops, dropping duplicated condition frames (:641-643)
+            dpix = ms_mod.dframe_to_frame(condition_frame_length)
+            clips = [clips[0]] + [c[:, :, dpix:] for c in clips[1:]]
+            samples = jnp.concatenate(clips, axis=2) if len(clips) > 1 else clips[0]
+            # uint8-convert ON DEVICE: the fp32 video is ~4x the bytes of the
+            # final uint8 frames, and device->host rides a slow link on
+            # remote TPU setups — transfer the small representation
+            u8 = jnp.clip((jnp.clip(samples, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
+            u8 = jnp.transpose(u8, (0, 2, 3, 4, 1)).astype(jnp.uint8)
+            video = np.asarray(u8)  # [B, T, H, W, C]
         self.last_timings = {"text": _t_text, "denoise": _t_denoise,
                              "vae": _t_vae,
                              "postprocess": _time.perf_counter() - _t0}

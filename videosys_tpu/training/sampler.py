@@ -123,6 +123,14 @@ class DCPPlanner:
         entry = self._entry(bucket_id)
         return (entry or {}).get("remat_policy", default)
 
+    def bs(self, bucket_id: BucketId) -> Optional[int]:
+        """Profiler-discovered max-fit micro-batch size for the bucket
+        (the bs-doubling ladder, reference profiler.py:498-764); None when
+        the bucket was not profiled — caller keeps the configured bs."""
+        entry = self._entry(bucket_id)
+        b = (entry or {}).get("bs")
+        return int(b) if b else None
+
 
 class VariableVideoBatchSampler:
     """Groups dataset rows into buckets and yields shape-static batch plans."""
@@ -176,7 +184,11 @@ class VariableVideoBatchSampler:
             idxs = np.asarray(idxs)
             if self.shuffle:
                 rng.shuffle(idxs)
-            bs = self.bucket.get_batch_size(bid) * self.batch_multiplier
+            base_bs = self.bucket.get_batch_size(bid)
+            if self.planner is not None:
+                # profiler-discovered max-fit bs (bs-doubling ladder)
+                base_bs = self.planner.bs(bid) or base_bs
+            bs = base_bs * self.batch_multiplier
             if bs <= 0:
                 continue
             sp, gas = self.planner.plan(bid) if self.planner else (1, 1)

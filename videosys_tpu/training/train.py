@@ -88,6 +88,9 @@ class TrainConfig:
     log_every: int = 10
     dp_size: int = 1
     sp_size: int = 1
+    # caption dropout: trains y_embedder.y_embedding (the CFG uncond branch)
+    # — reference class_dropout_prob=0.1 (open_sora_transformer_3d.py:331)
+    class_dropout_prob: float = 0.1
 
 
 def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
@@ -143,7 +146,8 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             T, H, W = thw
             t_lat, h_lat, w_lat = max(1, T // 17 * 5) if T > 1 else 1, H // 8, W // 8
             fn = make_train_step(models_by_policy[policy], scheduler, tx,
-                                 float(H), float(W), num_frames=int(T))
+                                 float(H), float(W), num_frames=int(T),
+                                 class_dropout_prob=cfg.class_dropout_prob)
             x = jnp.zeros((bs, cfg.model.in_channels, t_lat, h_lat, w_lat))
             y = jnp.zeros((bs, 8, cfg.model.caption_channels))
             batch = {"x": x, "y": y, "fps": jnp.full((bs,), 24.0)}
@@ -317,7 +321,8 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                                if planner is not None else cfg.remat_policy)
                         grad_fns[gkey] = jax.jit(make_grad_step(
                             models_by_policy[pol], scheduler, float(H),
-                            float(W), num_frames=int(T)))
+                            float(W), num_frames=int(T),
+                            class_dropout_prob=cfg.class_dropout_prob))
                     gfn = grad_fns[gkey]
                     batch, gas = _build_batch(plan, plan_mesh, lat_shape,
                                               global_step + n_evals)
@@ -377,7 +382,8 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                        if planner is not None else cfg.remat_policy)
                 fn = make_train_step(
                     models_by_policy[pol], scheduler, tx, float(H), float(W),
-                    num_frames=int(T), gas=gas)
+                    num_frames=int(T), gas=gas,
+                    class_dropout_prob=cfg.class_dropout_prob)
                 if plan_mesh is not None:
                     # pin the output layout to the canonical ZeRO-1 placement
                     # (replicated params, all-device-sharded moments) so every

@@ -45,6 +45,29 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pin_grads_replicated(grads):
+    """Pin weight gradients to REPLICATED at the AD boundary.
+
+    Without this, the ZeRO-1 moment sharding (e.g. a kernel's C dim split
+    over all devices, `zero1_shardings`) propagates backward from
+    `tx.update` through the dW matmuls into the activation cotangents —
+    GSPMD then wants [B,T,S,C] activations resharded from their forward
+    (dp/sp) layout to C-sharded, hits the reshape it cannot repartition, and
+    falls back to "involuntary full rematerialization" (full replication of
+    the activation; the MULTICHIP_r02 warnings). Pinning dW replicated means
+    the backward produces partial row-shard sums + one all-reduce (the
+    natural dp/sp gradient reduction) and the moment update takes a free
+    local slice of the replicated grad. Cost vs ideal reduce-scatter: one
+    extra all-gather of param bytes per step; benefit: no replication cliff
+    in the model backward."""
+    mesh = par.active_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return grads
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda g: jax.lax.with_sharding_constraint(g, repl), grads)
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
                    warmup_steps: int = 1000, grad_clip: Optional[float] = None):
     """AdamW with linear warmup (training/lr_schedulers/linear_warmup_open_sora.py:4
@@ -62,9 +85,43 @@ def create_train_state(params, tx) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+def _make_loss_fn(model: STDiT3, scheduler: RFlowScheduler,
+                  height: float, width: float, num_frames,
+                  class_dropout_prob: float):
+    """rflow loss with caption dropout: with prob `class_dropout_prob` a
+    sample's caption rows are replaced by the learned null embedding
+    (reference token_drop, embeddings.py:210-226 via class_dropout_prob=0.1,
+    open_sora_transformer_3d.py:331,403) — this trains `y_embedder.
+    y_embedding`, which CFG inference uses as the uncond branch."""
+
+    def loss_fn(params, rng, batch):
+        y = batch["y"]
+        if class_dropout_prob > 0:
+            rng, dkey = jax.random.split(rng)
+            drop = jax.random.bernoulli(dkey, class_dropout_prob,
+                                        (y.shape[0],))
+            y_null = params["params"]["y_embedder"]["y_embedding"]
+            y = jnp.where(drop[:, None, None],
+                          y_null[None, : y.shape[1]].astype(y.dtype), y)
+
+        def model_fn(x_t, t, **kw):
+            return model.apply(params, x_t, t, y,
+                               kv_mask=batch.get("kv_mask"),
+                               x_mask=batch.get("mask"),
+                               fps=batch["fps"], height=height, width=width)
+
+        losses = scheduler.training_losses(
+            model_fn, rng, batch["x"], mask=batch.get("mask"),
+            height=height, width=width, num_frames=num_frames)
+        return losses.mean()
+
+    return loss_fn
+
+
 def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
                     height: float, width: float,
-                    num_frames: Optional[int] = None, gas: int = 1):
+                    num_frames: Optional[int] = None, gas: int = 1,
+                    class_dropout_prob: float = 0.1):
     """Returns a jittable (state, rng, batch) -> (state, metrics) function.
 
     batch: dict(x [B,C,T,H,W] latents, y [B,L,Dc], kv_mask [B,L], fps [B],
@@ -77,23 +134,14 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
     ``num_frames`` is the bucket's *pixel* frame count, required when the
     scheduler warps training timesteps (use_timestep_transform)."""
 
-    def loss_fn(params, rng, batch):
-        def model_fn(x_t, t, **kw):
-            return model.apply(params, x_t, t, batch["y"],
-                               kv_mask=batch.get("kv_mask"),
-                               x_mask=batch.get("mask"),
-                               fps=batch["fps"], height=height, width=width)
-
-        losses = scheduler.training_losses(
-            model_fn, rng, batch["x"], mask=batch.get("mask"),
-            height=height, width=width, num_frames=num_frames)
-        return losses.mean()
-
+    loss_fn = _make_loss_fn(model, scheduler, height, width, num_frames,
+                            class_dropout_prob)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def train_step(state: TrainState, rng, batch):
         if gas == 1:
             loss, grads = grad_fn(state.params, rng, batch)
+            grads = _pin_grads_replicated(grads)
         else:
             def micro(carry, inp):
                 acc = carry
@@ -105,6 +153,7 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             acc, losses = jax.lax.scan(micro, zeros, (keys, batch))
             grads = jax.tree.map(lambda g: g / gas, acc)
+            grads = _pin_grads_replicated(grads)
             loss = losses.mean()
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -118,7 +167,8 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
 
 
 def make_grad_step(model: STDiT3, scheduler: RFlowScheduler,
-                   height: float, width: float, num_frames: int):
+                   height: float, width: float, num_frames: int,
+                   class_dropout_prob: float = 0.1):
     """(params, rng, batch) -> (loss, grads): the gradient half of a step,
     used by sp-balance mode (training/train.py) where the plans packed into
     one GlobalStep accumulate grads before a single optimizer update —
@@ -126,19 +176,15 @@ def make_grad_step(model: STDiT3, scheduler: RFlowScheduler,
     DeepSpeed all-reduce spans every rank group (sampler.py:576-871 +
     train.py:362-364)."""
 
-    def loss_fn(params, rng, batch):
-        def model_fn(x_t, t, **kw):
-            return model.apply(params, x_t, t, batch["y"],
-                               kv_mask=batch.get("kv_mask"),
-                               x_mask=batch.get("mask"),
-                               fps=batch["fps"], height=height, width=width)
+    loss_fn = _make_loss_fn(model, scheduler, height, width, num_frames,
+                            class_dropout_prob)
+    vg = jax.value_and_grad(loss_fn)
 
-        losses = scheduler.training_losses(
-            model_fn, rng, batch["x"], mask=batch.get("mask"),
-            height=height, width=width, num_frames=num_frames)
-        return losses.mean()
+    def grad_step(params, rng, batch):
+        loss, grads = vg(params, rng, batch)
+        return loss, _pin_grads_replicated(grads)
 
-    return jax.value_and_grad(loss_fn)
+    return grad_step
 
 
 def make_apply_step(tx):

@@ -331,3 +331,286 @@ def convert_vchitect(sd: Mapping, depth: int = 18) -> dict:
             sd, f"transformer_blocks.{depth - 1}", True),
     }
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# VAE converters (VERDICT r2 Next #4): reference torch VAE state dicts ->
+# the TPU-native Flax pytrees. References:
+# * Open-Sora: autoencoder_kl_open_sora.py:621-761 (VideoAutoencoderPipeline
+#   = diffusers AutoencoderKL spatial + VAE_Temporal_SD)
+# --------------------------------------------------------------------------
+
+def groupnorm(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """torch nn.GroupNorm -> GroupNormMXU {scale, bias}."""
+    return {"scale": _np(sd[prefix + ".weight"]),
+            "bias": _np(sd[prefix + ".bias"])}
+
+
+def _cconv(sd: Mapping, prefix: str) -> Dict[str, dict]:
+    """reference CausalConv3d (wraps .conv) -> flax CausalConv3d {conv}."""
+    return {"conv": conv(sd, prefix + ".conv")}
+
+
+def _res2d(sd: Mapping, prefix: str) -> dict:
+    out = {"norm1": groupnorm(sd, prefix + ".norm1"),
+           "conv1": conv(sd, prefix + ".conv1"),
+           "norm2": groupnorm(sd, prefix + ".norm2"),
+           "conv2": conv(sd, prefix + ".conv2")}
+    if prefix + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = conv(sd, prefix + ".conv_shortcut")
+    return out
+
+
+def _attn2d(sd: Mapping, prefix: str) -> dict:
+    return {"group_norm": groupnorm(sd, prefix + ".group_norm"),
+            "to_q": linear(sd, prefix + ".to_q"),
+            "to_k": linear(sd, prefix + ".to_k"),
+            "to_v": linear(sd, prefix + ".to_v"),
+            "to_out": linear(sd, prefix + ".to_out.0")}
+
+
+def _vae2d_coder(sd: Mapping, pre: str, n_blocks: int, decoder: bool) -> dict:
+    """diffusers Encoder/Decoder -> vae2d.Encoder2D/Decoder2D params.
+    Key layout: diffusers autoencoder_kl.py (down_blocks.{i}.resnets.{j},
+    up_blocks.{i}.resnets.{j}, mid_block.{resnets,attentions})."""
+    out = {"conv_in": conv(sd, pre + ".conv_in"),
+           "conv_norm_out": groupnorm(sd, pre + ".conv_norm_out"),
+           "conv_out": conv(sd, pre + ".conv_out"),
+           "mid_res_0": _res2d(sd, pre + ".mid_block.resnets.0"),
+           "mid_res_1": _res2d(sd, pre + ".mid_block.resnets.1")}
+    if pre + ".mid_block.attentions.0.to_q.weight" in sd:
+        out["mid_attn"] = _attn2d(sd, pre + ".mid_block.attentions.0")
+    kind = "up" if decoder else "down"
+    for i in range(n_blocks):
+        j = 0
+        while f"{pre}.{kind}_blocks.{i}.resnets.{j}.conv1.weight" in sd:
+            out[f"{kind}_{i}_res_{j}"] = _res2d(
+                sd, f"{pre}.{kind}_blocks.{i}.resnets.{j}")
+            j += 1
+        if f"{pre}.{kind}_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            out[f"down_{i}_downsample"] = conv(
+                sd, f"{pre}.{kind}_blocks.{i}.downsamplers.0.conv")
+        if f"{pre}.{kind}_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            out[f"up_{i}_upsample"] = conv(
+                sd, f"{pre}.{kind}_blocks.{i}.upsamplers.0.conv")
+    return out
+
+
+def convert_vae2d(sd: Mapping, n_blocks: int = 4) -> dict:
+    """diffusers AutoencoderKL state dict -> AutoencoderKL2D params."""
+    return {"params": {
+        "encoder": _vae2d_coder(sd, "encoder", n_blocks, decoder=False),
+        "decoder": _vae2d_coder(sd, "decoder", n_blocks, decoder=True),
+        "quant_conv": conv(sd, "quant_conv"),
+        "post_quant_conv": conv(sd, "post_quant_conv"),
+    }}
+
+
+def _res3d(sd: Mapping, prefix: str) -> dict:
+    out = {"norm1": groupnorm(sd, prefix + ".norm1"),
+           "conv1": _cconv(sd, prefix + ".conv1"),
+           "norm2": groupnorm(sd, prefix + ".norm2"),
+           "conv2": _cconv(sd, prefix + ".conv2")}
+    if prefix + ".conv3.conv.weight" in sd:
+        out["conv3"] = _cconv(sd, prefix + ".conv3")
+    return out
+
+
+def convert_vae_temporal(sd: Mapping, n_blocks: int = 4,
+                         num_res_blocks: int = 4) -> dict:
+    """reference VAE_Temporal (autoencoder_kl_open_sora.py:379-485) state
+    dict -> vae_temporal.VAETemporal params (MAGVIT encoder/decoder with
+    causal convs; conv_blocks hold Identity for non-downsampling stages so
+    only the strided entries carry keys)."""
+    enc = {"conv_in": _cconv(sd, "encoder.conv_in"),
+           "norm1": groupnorm(sd, "encoder.norm1"),
+           "conv2": _cconv(sd, "encoder.conv2")}
+    for i in range(n_blocks):
+        for j in range(num_res_blocks):
+            enc[f"block_{i}_res_{j}"] = _res3d(
+                sd, f"encoder.block_res_blocks.{i}.{j}")
+        if f"encoder.conv_blocks.{i}.conv.weight" in sd:
+            enc[f"conv_down_{i}"] = _cconv(sd, f"encoder.conv_blocks.{i}")
+    for j in range(num_res_blocks):
+        enc[f"final_res_{j}"] = _res3d(sd, f"encoder.res_blocks.{j}")
+
+    dec = {"conv1": _cconv(sd, "decoder.conv1"),
+           "norm1": groupnorm(sd, "decoder.norm1"),
+           "conv_out": _cconv(sd, "decoder.conv_out")}
+    for j in range(num_res_blocks):
+        dec[f"first_res_{j}"] = _res3d(sd, f"decoder.res_blocks.{j}")
+    for i in range(n_blocks):
+        for j in range(num_res_blocks):
+            dec[f"block_{i}_res_{j}"] = _res3d(
+                sd, f"decoder.block_res_blocks.{i}.{j}")
+        if f"decoder.conv_blocks.{i}.conv.weight" in sd:
+            dec[f"conv_up_{i}"] = _cconv(sd, f"decoder.conv_blocks.{i}")
+
+    return {"params": {
+        "encoder": enc, "decoder": dec,
+        "quant_conv": _cconv(sd, "quant_conv"),
+        "post_quant_conv": _cconv(sd, "post_quant_conv"),
+    }}
+
+
+def convert_open_sora_vae(sd: Mapping, n_spatial_blocks: int = 4) -> dict:
+    """VideoAutoencoderPipeline state dict (spatial_vae.module.* +
+    temporal_vae.*) -> OpenSoraVAE params {"spatial", "temporal"}."""
+    spatial_sd = {k[len("spatial_vae.module."):]: v for k, v in sd.items()
+                  if k.startswith("spatial_vae.module.")}
+    temporal_sd = {k[len("temporal_vae."):]: v for k, v in sd.items()
+                   if k.startswith("temporal_vae.")}
+    return {"spatial": convert_vae2d(spatial_sd, n_spatial_blocks),
+            "temporal": convert_vae_temporal(temporal_sd)}
+
+
+def _cog_norm(sd: Mapping, prefix: str, spatial: bool) -> dict:
+    if not spatial:
+        return groupnorm(sd, prefix)
+    return {"norm_layer": groupnorm(sd, prefix + ".norm_layer"),
+            "conv_y": _cconv(sd, prefix + ".conv_y"),
+            "conv_b": _cconv(sd, prefix + ".conv_b")}
+
+
+def _cog_res(sd: Mapping, prefix: str, spatial: bool) -> dict:
+    out = {"norm1": _cog_norm(sd, prefix + ".norm1", spatial),
+           "conv1": _cconv(sd, prefix + ".conv1"),
+           "norm2": _cog_norm(sd, prefix + ".norm2", spatial),
+           "conv2": _cconv(sd, prefix + ".conv2")}
+    if prefix + ".conv_shortcut.weight" in sd:  # SafeConv3d: plain Conv3d
+        out["conv_shortcut"] = conv(sd, prefix + ".conv_shortcut")
+    return out
+
+
+def convert_cogvideox_vae(sd: Mapping, n_blocks: int = 4,
+                          layers_per_block: int = 3) -> dict:
+    """AutoencoderKLCogVideoX state dict (autoencoder_kl_cogvideox.py
+    :872-1257) -> {"encoder", "decoder"} Flax params for
+    autoencoder_cogvideox (encoder GroupNorms; decoder latent-conditioned
+    SpatialNorm3D throughout; 2D convs in the up/down samplers)."""
+    enc = {"conv_in": _cconv(sd, "encoder.conv_in"),
+           "norm_out": groupnorm(sd, "encoder.norm_out"),
+           "conv_out": _cconv(sd, "encoder.conv_out")}
+    for i in range(n_blocks):
+        for j in range(layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _cog_res(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", False)
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            enc[f"down_{i}_downsample"] = {
+                "conv": conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")}
+    for j in range(2):
+        enc[f"mid_res_{j}"] = _cog_res(
+            sd, f"encoder.mid_block.resnets.{j}", False)
+
+    dec = {"conv_in": _cconv(sd, "decoder.conv_in"),
+           "norm_out": _cog_norm(sd, "decoder.norm_out", True),
+           "conv_out": _cconv(sd, "decoder.conv_out")}
+    for j in range(2):
+        dec[f"mid_res_{j}"] = _cog_res(
+            sd, f"decoder.mid_block.resnets.{j}", True)
+    for i in range(n_blocks):
+        for j in range(layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _cog_res(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", True)
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            dec[f"up_{i}_upsample"] = {
+                "conv": conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")}
+    return {"encoder": {"params": enc}, "decoder": {"params": dec}}
+
+
+def _causal_vae_op(sd: Mapping, prefix: str, op: str) -> dict:
+    """One registry op (autoencoder_causal_vae.VAE_OPS) from its reference
+    torch keys (v110 op classes :868-1600 / v120 :35-470)."""
+    if op == "CausalConv3d":
+        return {"conv": conv(sd, prefix + ".conv")}
+    if op in ("SpatialDownsample2x", "SpatialUpsample2x",
+              "Spatial2xTime2x3DDownsample", "Spatial2xTime2x3DUpsample"):
+        # reference wraps a CausalConv3d in `.conv`; the flax op holds a
+        # plain/causal conv submodule also named `conv`
+        inner = {"conv": conv(sd, prefix + ".conv.conv")}
+        if op in ("Spatial2xTime2x3DDownsample", "Spatial2xTime2x3DUpsample"):
+            return {"conv": inner}
+        return inner
+    if op in ("Conv2d",):
+        return {"conv": conv(sd, prefix)}
+    if op == "Downsample":
+        return {"conv": conv(sd, prefix + ".conv")}
+    if op in ("ResnetBlock3D", "ResnetBlock2D"):
+        causal = op == "ResnetBlock3D"
+
+        def c(name):
+            return ({"conv": conv(sd, f"{prefix}.{name}.conv")} if causal
+                    else {"conv": conv(sd, f"{prefix}.{name}")})
+
+        out = {"norm1": groupnorm(sd, prefix + ".norm1"), "conv1": c("conv1"),
+               "norm2": groupnorm(sd, prefix + ".norm2"), "conv2": c("conv2")}
+        if (f"{prefix}.nin_shortcut.conv.weight" in sd
+                or f"{prefix}.nin_shortcut.weight" in sd):
+            out["nin_shortcut"] = c("nin_shortcut")
+        return out
+    if op in ("AttnBlock", "AttnBlock3D", "AttnBlock3DFix"):
+        return {"norm": groupnorm(sd, prefix + ".norm"),
+                **{k: {"conv": conv(sd, f"{prefix}.{k}.conv")}
+                   for k in ("q", "k", "v", "proj_out")}}
+    if op == "TimeDownsampleRes2x":
+        return {"mix_factor": _np(sd[prefix + ".mix_factor"]),
+                "conv": conv(sd, prefix + ".conv")}
+    if op == "TimeUpsampleRes2x":
+        return {"mix_factor": _np(sd[prefix + ".mix_factor"]),
+                "conv": {"conv": conv(sd, prefix + ".conv.conv")}}
+    if op in ("TimeDownsample2x", "TimeUpsample2x"):
+        return {}  # parameter-free (avg-pool / interpolation)
+    raise KeyError(f"no conversion rule for op {op!r}")
+
+
+def convert_causal_vae(sd: Mapping, config) -> dict:
+    """OSP CausalVAEModel state dict (v110 :357-798 / v120 :741-1110) ->
+    autoencoder_causal_vae.CausalVAEModule params, driven by the same
+    registry config the flax model was built from."""
+    cfg = config
+    n = len(cfg.hidden_size_mult)
+
+    enc = {"conv_in": _causal_vae_op(sd, "encoder.conv_in", cfg.encoder_conv_in),
+           "conv_out": _causal_vae_op(sd, "encoder.conv_out", cfg.encoder_conv_out),
+           "norm_out": groupnorm(sd, "encoder.norm_out"),
+           "mid_block1": _causal_vae_op(sd, "encoder.mid.block_1", cfg.encoder_mid_resnet),
+           "mid_block2": _causal_vae_op(sd, "encoder.mid.block_2", cfg.encoder_mid_resnet),
+           "mid_attn": _causal_vae_op(sd, "encoder.mid.attn_1", cfg.encoder_attention)}
+    for i in range(n):
+        for j in range(cfg.num_res_blocks):
+            enc[f"down{i}_block{j}"] = _causal_vae_op(
+                sd, f"encoder.down.{i}.block.{j}", cfg.encoder_resnet_blocks[i])
+        if cfg.encoder_spatial_downsample[i]:
+            enc[f"down{i}_downsample"] = _causal_vae_op(
+                sd, f"encoder.down.{i}.downsample", cfg.encoder_spatial_downsample[i])
+        if cfg.encoder_temporal_downsample[i]:
+            t = _causal_vae_op(sd, f"encoder.down.{i}.time_downsample",
+                               cfg.encoder_temporal_downsample[i])
+            if t:
+                enc[f"down{i}_time_downsample"] = t
+
+    dec = {"conv_in": _causal_vae_op(sd, "decoder.conv_in", cfg.decoder_conv_in),
+           "conv_out": _causal_vae_op(sd, "decoder.conv_out", cfg.decoder_conv_out),
+           "norm_out": groupnorm(sd, "decoder.norm_out"),
+           "mid_block1": _causal_vae_op(sd, "decoder.mid.block_1", cfg.decoder_mid_resnet),
+           "mid_block2": _causal_vae_op(sd, "decoder.mid.block_2", cfg.decoder_mid_resnet),
+           "mid_attn": _causal_vae_op(sd, "decoder.mid.attn_1", cfg.decoder_attention)}
+    for i in range(n):
+        for j in range(cfg.num_res_blocks + 1):
+            dec[f"up{i}_block{j}"] = _causal_vae_op(
+                sd, f"decoder.up.{i}.block.{j}", cfg.decoder_resnet_blocks[i])
+        if cfg.decoder_spatial_upsample[i]:
+            dec[f"up{i}_upsample"] = _causal_vae_op(
+                sd, f"decoder.up.{i}.upsample", cfg.decoder_spatial_upsample[i])
+        if cfg.decoder_temporal_upsample[i]:
+            t = _causal_vae_op(sd, f"decoder.up.{i}.time_upsample",
+                               cfg.decoder_temporal_upsample[i])
+            if t:
+                dec[f"up{i}_time_upsample"] = t
+
+    params = {"encoder": enc, "decoder": dec}
+    if cfg.use_quant_layer:
+        params["quant_conv"] = _causal_vae_op(sd, "quant_conv", "CausalConv3d")
+        params["post_quant_conv"] = _causal_vae_op(sd, "post_quant_conv",
+                                                   "CausalConv3d")
+    return {"params": params}

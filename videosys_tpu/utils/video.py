@@ -13,6 +13,8 @@ def save_video(video, output_path: str, fps: int = 24) -> str:
     import imageio
 
     video = np.asarray(video)
+    if video.ndim == 5 and video.shape[0] == 1:
+        video = video[0]  # tolerate a batch-1 [B, T, H, W, C] pipeline output
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     if video.ndim == 4 and video.shape[0] == 1:
         output_path = output_path if output_path.endswith(".png") else output_path + ".png"
