@@ -99,8 +99,33 @@ def install_stubs():
     _module("diffusers.pipelines")
     _module("diffusers.pipelines.pipeline_utils",
             DiffusionPipeline=D.DiffusionPipeline)
+    class _UnusedProcessor:  # imported by v110, never instantiated at eval
+        def __init__(self, *a, **k):
+            pass
+
+    class _SpatialNorm(nn.Module):
+        def __init__(self, f_channels, zq_channels):
+            super().__init__()
+            self.norm_layer = nn.GroupNorm(32, f_channels, eps=1e-6)
+            self.conv_y = nn.Conv2d(zq_channels, f_channels, 1)
+            self.conv_b = nn.Conv2d(zq_channels, f_channels, 1)
+
+        def forward(self, f, zq):
+            zq = nn.functional.interpolate(zq, size=f.shape[-2:], mode="nearest")
+            return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
     _module("diffusers.models.attention_processor", Attention=D.Attention,
-            AttnProcessor=D.AttnProcessor, AttnProcessor2_0=D.AttnProcessor2_0)
+            AttnProcessor=D.AttnProcessor, AttnProcessor2_0=D.AttnProcessor2_0,
+            SpatialNorm=_SpatialNorm,
+            **{name: _UnusedProcessor for name in (
+                "AttnAddedKVProcessor", "AttnAddedKVProcessor2_0",
+                "CustomDiffusionAttnProcessor",
+                "CustomDiffusionAttnProcessor2_0",
+                "CustomDiffusionXFormersAttnProcessor",
+                "LoRAAttnAddedKVProcessor", "LoRAAttnProcessor",
+                "LoRAAttnProcessor2_0", "LoRAXFormersAttnProcessor",
+                "SlicedAttnAddedKVProcessor", "SlicedAttnProcessor",
+                "XFormersAttnAddedKVProcessor", "XFormersAttnProcessor")})
     _module("diffusers.models.embeddings",
             ImagePositionalEmbeddings=D.ImagePositionalEmbeddings,
             CombinedTimestepTextProjEmbeddings=D.CombinedTimestepTextProjEmbeddings,
@@ -125,6 +150,7 @@ def install_stubs():
     _module("diffusers.utils", USE_PEFT_BACKEND=D.USE_PEFT_BACKEND,
             BaseOutput=D.BaseOutput, deprecate=D.deprecate,
             is_torch_version=D.is_torch_version,
+            is_xformers_available=lambda: False,
             unscale_lora_layers=D.unscale_lora_layers,
             scale_lora_layers=D.scale_lora_layers)
     _module("diffusers.utils.torch_utils",

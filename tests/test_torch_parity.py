@@ -483,3 +483,46 @@ def test_osp_causal_vae_v120_parity():
                          method="decode")
     np.testing.assert_allclose(np.asarray(got_d).transpose(0, 4, 1, 2, 3),
                                want_d, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_rope", [False, True])
+def test_osp_v110_transformer_parity(use_rope):
+    """VERDICT r2 Next #5: the 57-LoC OSP v1.1 alias must be backed by
+    parity against the ACTUAL open_sora_plan_v110_transformer_3d.py (its own
+    RoPE2D/1D :136-283, LatteT2V :2123) — not just the Latte proxy. Covers
+    both the plain and the use_rope checkpoint variants."""
+    m = ref_torch.load(
+        "videosys.models.transformers.open_sora_plan_v110_transformer_3d")
+    torch.manual_seed(4)
+    heads, hd, depth, cap = 2, 16, 2, 16
+    B, T, H, W, L = 2, 3, 16, 16, 6
+    ref = _stub_pm(m.LatteT2V(
+        num_attention_heads=heads, attention_head_dim=hd, in_channels=4,
+        out_channels=8, num_layers=depth, cross_attention_dim=heads * hd,
+        sample_size=(H // 2, W // 2), patch_size=2,
+        activation_fn="gelu-approximate", num_embeds_ada_norm=1000,
+        norm_type="ada_norm_single", attention_bias=True,
+        caption_channels=cap, video_length=T, attention_mode="math",
+        use_rope=use_rope, model_max_length=8).eval())
+
+    x = torch.randn(B, 4, T, H, W)
+    t = torch.full((B,), 500, dtype=torch.long)
+    y = torch.randn(B, L, cap)
+    with torch.no_grad():
+        # v110 carries the image-joint-training axis: y is [B, 1, L, D]
+        want = ref(x, t, encoder_hidden_states=y.unsqueeze(1),
+                   enable_temporal_attentions=True, return_dict=False)[0].numpy()
+
+    from videosys_tpu.models.transformers.open_sora_plan_v110 import (
+        OpenSoraPlanV110Config, OpenSoraPlanV110Transformer)
+
+    cfg = OpenSoraPlanV110Config(
+        use_rope=use_rope, num_layers=depth, num_heads=heads, head_dim=hd,
+        caption_channels=cap, video_length=T, sample_size=H // 2,
+        learned_sigma=True)
+    params = C.convert_latte(_sd(ref), depth=depth)
+    model = OpenSoraPlanV110Transformer(cfg)
+    got = np.asarray(model.apply(
+        params, jnp.asarray(x.numpy()),
+        jnp.asarray(t.numpy().astype(np.float32)), jnp.asarray(y.numpy())))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
