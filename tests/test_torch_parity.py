@@ -369,13 +369,20 @@ def test_cogvideox_vae_parity():
     np.testing.assert_allclose(np.asarray(got_m).transpose(0, 4, 1, 2, 3),
                                want_m, atol=3e-5, rtol=3e-5)
 
-    # decode
-    z = torch.randn(1, 4, 2, 4, 4)
+    # decode — T=5 latent frames: the reference chunks [0:3] + [3:5] through
+    # its per-conv caches (default framewise decode, :1095-1113); the
+    # streaming path must reproduce the conv-cache threading exactly
+    z = torch.randn(1, 4, 5, 4, 4)
     with torch.no_grad():
         want_d = ref.decode(z).sample.numpy()
     got_d = np.asarray(vae.decode(params, jnp.asarray(z.numpy())))
     assert got_d.shape == want_d.shape
-    np.testing.assert_allclose(got_d, want_d, atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(got_d, want_d, atol=1e-4, rtol=1e-4)
+    # whole-axis (streaming=False) differs from the chunked reference only
+    # through the per-chunk norm statistics — sanity-check it still runs
+    whole = np.asarray(vae.decode(params, jnp.asarray(z.numpy()),
+                                  streaming=False))
+    assert whole.shape == want_d.shape
 
 
 def test_osp_causal_vae_v110_parity():

@@ -15,10 +15,13 @@ Key behavioral points preserved:
 * the decoder conditions every norm on the latent via SpatialNorm3D;
 * spatial tiling with linear blending (tiled_decode :1161-1239).
 
-The reference streams latent frames in batches of 2 with per-conv caches
-(:1241 comment) purely to bound memory; this implementation processes the
-full time axis per spatial tile (mathematically identical) — the conv-cache
-streaming path is a planned memory optimization.
+Decode follows the reference's DEFAULT framewise streaming (:1095-1113):
+latent frames go through the decoder 2 at a time (first chunk absorbs the
+remainder) with each causal conv's trailing input frames threaded between
+chunks via the flax "cache" variable collection — semantics identical to
+the reference (including per-chunk norm statistics) with peak activation
+memory O(chunk); `decode(..., streaming=False)` keeps the whole-axis
+single-program path.
 """
 
 from __future__ import annotations
@@ -47,8 +50,26 @@ class CausalConv3dCog(nn.Module):
         kt, kh, kw = self.kernel_size
         time_pad = kt - 1 + (1 - self.time_stride)
         if time_pad > 0:
-            first = jnp.repeat(x[:, :1], time_pad, axis=1)
-            x = jnp.concatenate([first, x], axis=1)
+            # streaming decode (reference fake-context-parallel conv cache,
+            # :112-126): when the "cache" collection is active, the front pad
+            # comes from the PREVIOUS chunk's last raw input frames, and this
+            # chunk's tail is written back for the next one. First chunk (or
+            # whole-axis mode) replicate-pads the first frame.
+            init = self.is_initializing()  # init() must not bake caches in
+            writing = self.is_mutable_collection("cache") and not init
+            cached = self.has_variable("cache", "t") and not init
+            cv = (self.variable("cache", "t", lambda: jnp.zeros((0,)))
+                  if (writing or cached) else None)
+            prev = cv.value if cv is not None else None
+            if (prev is not None and getattr(prev, "ndim", 0) == x.ndim
+                    and prev.shape[1] == time_pad):
+                front = prev.astype(x.dtype)
+            else:
+                front = jnp.repeat(x[:, :1], time_pad, axis=1)
+            tail = x[:, -time_pad:]
+            x = jnp.concatenate([front, x], axis=1)
+            if writing:
+                cv.value = tail
         return nn.Conv(
             self.features, self.kernel_size,
             strides=(self.time_stride, 1, 1),
@@ -246,6 +267,10 @@ class CogVideoXVAEConfig:
     norm_num_groups: int = 32
     temporal_compression_ratio: int = 4
     scaling_factor: float = 1.15258426
+    # reference framewise decode chunk (num_latent_frames_batch_size, :951):
+    # the decoder streams 2 latent frames at a time through per-conv caches,
+    # bounding decode memory to O(chunk) instead of O(T)
+    num_latent_frames_batch_size: int = 2
     # tiling (:1013-1047): tile sizes in latent space + overlap factors
     tile_latent_min_height: int = 30
     tile_latent_min_width: int = 45
@@ -313,15 +338,63 @@ class AutoencoderKLCogVideoX:
     def _decode_tile_impl(self, params, z):
         return self.decoder.apply(params["decoder"], z)
 
-    def decode(self, params, z: jax.Array) -> jax.Array:
-        """z: [B, C_lat, T', h, w] -> pixels [B, 3, T, H, W]."""
+    def _decode_streamed(self, params, zl: jax.Array) -> jax.Array:
+        """Frame-pair streaming decode (reference _decode :1095-1113): chunk
+        the latent T axis (first chunk absorbs the remainder), thread every
+        causal conv's last raw input frames between chunks via the "cache"
+        variable collection. Matches the reference's default decode
+        semantics EXACTLY (including per-chunk norm statistics) and bounds
+        peak activation memory to O(chunk) — 49-frame 720p decode fits
+        16 GiB chips."""
+        fbs = self.config.num_latent_frames_batch_size
+        T = zl.shape[1]
+        if T <= fbs:
+            return self._decode_tile(params, zl)
+        rem = T % fbs
+        bounds = [(0, fbs + rem)]
+        start = fbs + rem
+        while start < T:
+            bounds.append((start, start + fbs))
+            start += fbs
+        if not hasattr(self, "_stream_fns"):
+            self._stream_fns = {}
+
+        def first_fn(p, zc):
+            p = {"params": p["params"]}  # drop any stale init-time caches
+            return self.decoder.apply(p, zc, mutable=["cache"])
+
+        def next_fn(p, cache, zc):
+            return self.decoder.apply({"params": p["params"], "cache": cache},
+                                      zc, mutable=["cache"])
+
+        jf = self._stream_fns.setdefault("first", jax.jit(first_fn))
+        jn = self._stream_fns.setdefault("next", jax.jit(next_fn))
+        outs = []
+        cache = None
+        for (s0, s1) in bounds:
+            zc = zl[:, s0:s1]
+            if cache is None:
+                out, vars_ = jf(params["decoder"], zc)
+            else:
+                out, vars_ = jn(params["decoder"], cache, zc)
+            cache = vars_["cache"]
+            outs.append(out)
+        return jnp.concatenate(outs, axis=1)
+
+    def decode(self, params, z: jax.Array, streaming: bool = True) -> jax.Array:
+        """z: [B, C_lat, T', h, w] -> pixels [B, 3, T, H, W]. ``streaming``
+        follows the reference default (framewise conv-cache decode);
+        streaming=False decodes the whole T axis in one program."""
         zl = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         c = self.config
         if not self.use_tiling or (
             zl.shape[2] <= c.tile_latent_min_height
             and zl.shape[3] <= c.tile_latent_min_width
         ):
-            out = self._decode_tile(params, zl)
+            if streaming:
+                out = self._decode_streamed(params, zl)
+            else:
+                out = self._decode_tile(params, zl)
             return jnp.transpose(out, (0, 4, 1, 2, 3))
         return jnp.transpose(self._tiled_decode(params, zl), (0, 4, 1, 2, 3))
 

@@ -81,7 +81,10 @@ class OpenSoraConfig:
     num_sampling_steps: int = 30
     cfg_scale: float = 7.0
     # ======== vae ========
-    tiling_size: int = 4
+    # spatial-VAE frame micro-batch. The reference defaults to 4 (GPU memory
+    # headroom); on v5e 8 measured 2.2x faster decode (4.77 -> 2.13 s at
+    # 2s/480p, lax.map utilization) and fits comfortably
+    tiling_size: int = 8
     # ======== speedup ========
     enable_flash_attn: bool = True  # pallas kernel dispatch (auto on TPU)
     # ======== pab ========
