@@ -211,3 +211,55 @@ def test_multichip_train_step_has_no_replication_fallback(capfd):
     # and the DSP flip still materializes as all-to-all collectives
     hlo = compiled.as_text()
     assert "all-to-all" in hlo or "all_to_all" in hlo
+
+
+def test_dsp_collective_bytes_are_bounded():
+    """docs/dsp.md's communication accounting as a regression gate: in the
+    compiled sp=8 STDiT3 forward, activation traffic must ride the two
+    per-spatial-attention all-to-alls; all-gather/collective-permute
+    traffic (the replication fallback signature) must stay stat-sized —
+    under 15% of the all-to-all volume."""
+    from videosys_tpu.core import parallel as par
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+    from videosys_tpu.utils.hlo import collective_account
+
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=1, sp_size=8))
+    # Non-toy hidden/spatial sizes: the gate separates activation-sized
+    # traffic from stat-sized ([B,C] modulation) traffic, which only
+    # decouple once S*C dwarfs C (at toy shapes the stats dominate and the
+    # ratio is meaningless).
+    config = STDiT3Config(depth=2, hidden_size=128, num_heads=4,
+                          caption_channels=16, model_max_length=8)
+    model = STDiT3(config)
+
+    B, T, H, W, L = 2, 8, 16, 16, 8
+    x = jnp.zeros((B, 4, T, H, W))
+    y = jnp.zeros((B, L, config.caption_channels))
+    kv_mask = jnp.ones((B, L), bool)
+    fps = jnp.full((B,), 24.0)
+    params = model.init(jax.random.key(0), x[:1], jnp.zeros((1,)), y[:1],
+                        kv_mask=kv_mask[:1], fps=fps[:1],
+                        height=64.0, width=64.0)
+
+    def fwd(params, x, t, y):
+        return model.apply(params, x, t, y, kv_mask=kv_mask, fps=fps,
+                           height=64.0, width=64.0)
+
+    with use_mesh(mesh):
+        hlo = jax.jit(fwd).lower(
+            params, x, jnp.zeros((B,)), y).compile().as_text()
+
+    acct = collective_account(hlo)
+    # legitimate reshard traffic: all-to-all (the DSP flips) plus
+    # collective-permute (GSPMD lowers parts of the S-shard <-> merged-row
+    # reshard to 1:1 permutes — data moves once, nothing is replicated)
+    moved = acct.bytes("all-to-all") + acct.bytes("collective-permute")
+    assert acct.count("all-to-all") >= 2, acct.count_by_kind
+    assert moved > 0
+    # replication signature: all-gather. Only the stat-sized [B,C]
+    # modulation broadcasts and the [B,T,S,1] temporal-norm stat may
+    # gather; activation-sized gathers mean GSPMD fell back to replication.
+    fallback = acct.bytes("all-gather")
+    assert fallback <= 0.10 * moved, (
+        f"replication-shaped traffic {fallback}B vs moved {moved}B:\n"
+        + "\n".join(acct.lines_by_kind.get("all-gather", [])))

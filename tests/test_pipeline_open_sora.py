@@ -238,3 +238,25 @@ def test_unresolvable_weights_raise():
     cfg2.vae = "/nonexistent/OpenSora-VAE-v1.2"
     with pytest.raises(FileNotFoundError, match="VAE weights"):
         VideoSysEngine(cfg2, vae=tiny_vae())
+
+
+def test_text_kv_bucket_is_exact():
+    """Static text-KV bucketing (pipelines/common.py) must be bit-exact:
+    fully-masked tokens score -1e9, underflow to exactly 0.0 through the
+    fp32 softmax, and contribute nothing to the AV matmul — so slicing the
+    padded caption to the 64-token bucket changes no output bit (this is
+    the jit-compatible form of the reference's y_lens compression,
+    open_sora_transformer_3d.py:622-633)."""
+    cfg = tiny_config()
+    cfg.transformer_config = STDiT3Config(
+        depth=2, hidden_size=32, num_heads=2, caption_channels=16,
+        model_max_length=72, patch_size=(1, 2, 2))
+    eng = VideoSysEngine(cfg, vae=tiny_vae())
+    pipe = eng.driver_worker
+    kw = dict(resolution="144p", aspect_ratio="1:1", num_frames=1, seed=3)
+    a = eng.generate("a short prompt", **kw).video
+    assert pipe.last_text_kv_len == 64  # 72 -> the 64 bucket
+    pipe._config.text_kv_bucket = False
+    b = eng.generate("a short prompt", **kw).video
+    assert pipe.last_text_kv_len == 72
+    np.testing.assert_array_equal(a, b)

@@ -131,6 +131,11 @@ class LatteSpatialBlock(nn.Module):
             attn_out = cache["attn"]
         else:
             h = layer_norm(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
+            # pin the resident frame shard on the 4D tensor before merging
+            # rows: gives GSPMD a staging point so the norm/modulate stats
+            # complete under T-sharding instead of hitting the involuntary
+            # replication fallback (same fix as stdit3's temporal branch)
+            h = par.shard_temporal(h)
             hr = h.reshape(B * T, S, C)
             hr = par.shard_merged_rows(hr)
             attn_out = SelfAttention(

@@ -148,7 +148,15 @@ class STDiT3Block(nn.Module):
                 )
 
             if self.temporal:
-                # temporal attention: local under the resident S sharding
+                # temporal attention: local under the resident S sharding.
+                # Pin the resident shard on the 4D tensor BEFORE merging
+                # rows: it gives GSPMD a staging point so the norm/modulate
+                # producers (incl. their [B,T,S,1] stats) complete under
+                # S-sharding and only the [B,T,S,C] product is resharded to
+                # the merged-row (B x S-slice) decomposition — without it
+                # the partitioner hits "Involuntary full rematerialization"
+                # on the LayerNorm stat (observed in dryrun sp=8 logs).
+                x_m = par.shard_spatial(x_m)
                 xa = rearrange(x_m, "b t s c -> (b s) t c")
                 xa = par.shard_merged_rows(xa)
                 rope_ch = rope_channel_tables(

@@ -87,6 +87,9 @@ class OpenSoraConfig:
     tiling_size: int = 8
     # ======== speedup ========
     enable_flash_attn: bool = True  # pallas kernel dispatch (auto on TPU)
+    # static text-KV bucketing (exact; the reference's y_lens compression,
+    # open_sora_transformer_3d.py:622-633 — see pipelines/common.py)
+    text_kv_bucket: bool = True
     # ======== pab ========
     enable_pab: bool = False
     pab_config: Optional[PABConfig] = None
@@ -370,6 +373,12 @@ class OpenSoraPipeline(VideoSysPipeline):
         y_null = self.null_embed(B)
         y_all = jnp.concatenate([y, y_null], axis=0).astype(self.dtype)
         kv_mask_all = jnp.concatenate([kv_mask, kv_mask], axis=0)
+        self.last_text_kv_len = y_all.shape[1]
+        if getattr(cfg, "text_kv_bucket", False):
+            from videosys_tpu.pipelines.common import bucket_text_kv
+
+            y_all, kv_mask_all, self.last_text_kv_len = bucket_text_kv(
+                y_all, kv_mask_all, self.model_config.model_max_length)
 
         # --- latents + denoise, once per loop (:607-643) ------------------- #
         from videosys_tpu.pipelines.open_sora import mask_strategy as ms_mod
