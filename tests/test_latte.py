@@ -116,3 +116,28 @@ def test_latte_pipeline_generate():
                         height=16, width=16, seed=0)
     assert out.video.shape == (1, 4, 16, 16, 3)
     assert out.video.dtype == np.uint8
+
+
+def test_latte_text_kv_bucket_is_exact():
+    """Static text-KV bucketing must be bit-exact for Latte's masked
+    cross-attention (pipelines/common.py: fully-masked tokens underflow to
+    0.0 through the fp32 softmax)."""
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.pipelines.latte.pipeline_latte import (
+        LatteConfig,
+        LattePipeline,
+    )
+
+    cfg = LatteConfig(model_path=None, dtype="fp32", transformer_config=TINY)
+    vae = AutoencoderKL2D(mid_block_add_attention=False,
+                          block_out_channels=(8, 16), layers_per_block=1,
+                          num_groups=4)
+    pipe = LattePipeline(cfg, vae=vae)
+    kw = dict(num_inference_steps=2, video_length=4, height=16, width=16,
+              seed=0)
+    a = pipe.generate("a cat", **kw).video
+    assert pipe.last_text_kv_len == 64  # 120-token stub -> the 64 bucket
+    pipe._config.text_kv_bucket = False
+    b = pipe.generate("a cat", **kw).video
+    assert pipe.last_text_kv_len == 120
+    np.testing.assert_array_equal(a, b)

@@ -306,3 +306,24 @@ def test_v120_sp_equivalence():
         out = fn(p, x, enc, t)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_osp_text_kv_bucket_is_exact():
+    """Static text-KV bucketing must be bit-exact for OSP v1.2's masked
+    cross-attention (pipelines/common.py)."""
+    tcfg = tiny_v120()
+    cfg = OpenSoraPlanConfig(
+        version="v120", transformer_type="29x480p", dtype="fp32",
+        enable_tiling=False, transformer_config=tcfg,
+        vae=CausalVAE(tiny_vae_cfg(), version="v120"),
+    )
+    engine = VideoSysEngine(cfg)
+    pipe = engine.driver_worker
+    a = engine.generate("sunset over the sea", num_inference_steps=2,
+                        seed=0).video
+    assert pipe.last_text_kv_len == 64  # 512-token stub -> the 64 bucket
+    pipe._config.text_kv_bucket = False
+    b = engine.generate("sunset over the sea", num_inference_steps=2,
+                        seed=0).video
+    assert pipe.last_text_kv_len == 512
+    np.testing.assert_array_equal(a, b)

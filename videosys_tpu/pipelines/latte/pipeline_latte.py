@@ -60,6 +60,8 @@ class LatteConfig:
     beta_start: float = 0.0001
     beta_end: float = 0.02
     beta_schedule: str = "linear"
+    # exact static text-KV bucketing (see pipelines/common.py)
+    text_kv_bucket: bool = True
     # pab
     enable_pab: bool = False
     pab_config: Optional[PABConfig] = None
@@ -184,6 +186,15 @@ class LattePipeline(VideoSysPipeline):
         y_all = jnp.concatenate([y_neg, y_pos], axis=0).astype(self.dtype)
         kv_mask_all = jnp.concatenate([m_neg, m_pos], axis=0)
         B = y_pos.shape[0]
+        # exact static text-KV bucketing (pipelines/common.py) — Latte's
+        # cross-attention masks pad tokens to -1e9 + fp32 softmax, so the
+        # slice changes no output bit
+        self.last_text_kv_len = y_all.shape[1]
+        if getattr(cfg, "text_kv_bucket", False):
+            from videosys_tpu.pipelines.common import bucket_text_kv
+
+            y_all, kv_mask_all, self.last_text_kv_len = bucket_text_kv(
+                y_all, kv_mask_all, y_all.shape[1])
 
         sf = 2 ** (len(self.vae.block_out_channels) - 1)
         h_lat, w_lat = height // sf, width // sf

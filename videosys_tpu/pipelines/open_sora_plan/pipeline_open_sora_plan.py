@@ -86,6 +86,8 @@ class OpenSoraPlanConfig:
     cpu_offload: bool = False
     enable_tiling: bool = True
     tile_overlap_factor: float = 0.25
+    # exact static text-KV bucketing (see pipelines/common.py)
+    text_kv_bucket: bool = True
     enable_pab: bool = False
     pab_config: Optional[PABConfig] = None
     dtype: str = "bf16"
@@ -259,6 +261,14 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         y_all = jnp.concatenate([y_neg, y_pos], axis=0).astype(self.dtype)
         kv_mask_all = jnp.concatenate([m_neg, m_pos], axis=0)
         B = y_pos.shape[0]
+        # exact static text-KV bucketing (pipelines/common.py): both OSP
+        # versions mask pad tokens to -1e9 + fp32 softmax in cross-attention
+        self.last_text_kv_len = y_all.shape[1]
+        if getattr(cfg, "text_kv_bucket", False):
+            from videosys_tpu.pipelines.common import bucket_text_kv
+
+            y_all, kv_mask_all, self.last_text_kv_len = bucket_text_kv(
+                y_all, kv_mask_all, y_all.shape[1])
 
         # latent shape from the checkpoint's sample size (:1040-1043)
         if self.version == "v110":
