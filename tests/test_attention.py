@@ -141,3 +141,51 @@ def test_self_attention_kv_mask_matches_slicing():
     got = attn.apply(params, xp, kv_mask=mask)[:, :N]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_bwd_blocked_grad_parity():
+    """KV rows beyond the single-pass VMEM limit (> 4096 tokens) take the
+    KV-blocked backward (two kernels, forward-saved lse + the di identity).
+    Grad parity vs the reference VJP, including padding tails in both axes."""
+    B, H, Nq, Nk, D = 1, 2, 600, 4300, 32   # Nk > SINGLE_PASS_MAX_KV
+    q, k, v = _mk((B, H, Nq, D), 11), _mk((B, H, Nk, D), 12), _mk((B, H, Nk, D), 13)
+    ct = _mk((B, H, Nq, D), 14)
+
+    def f_flash(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, interpret=True), ct)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(reference_attention(q, k, v), ct)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_flash_bwd_blocked_grad_parity_masked():
+    """Blocked backward with a ragged KV mask: parity + exact zeros on
+    masked positions."""
+    B, H, Nq, Nk, D = 2, 1, 560, 4200, 24
+    q, k, v = _mk((B, H, Nq, D), 15), _mk((B, H, Nk, D), 16), _mk((B, H, Nk, D), 17)
+    lens = np.array([3000, 4200])
+    kv_mask = jnp.asarray(np.arange(Nk)[None, :] < lens[:, None])
+    ct = _mk((B, H, Nq, D), 18)
+
+    def f_flash(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, kv_mask=kv_mask,
+                                        interpret=True), ct)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(reference_attention(q, k, v, kv_mask=kv_mask), ct)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+    mask_np = np.asarray(kv_mask)
+    for g in (g_flash[1], g_flash[2]):
+        assert np.all(np.asarray(g)[~mask_np.astype(bool)[:, None, :, None]
+                      .repeat(H, 1).repeat(D, 3)] == 0.0)

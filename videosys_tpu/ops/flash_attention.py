@@ -46,6 +46,7 @@ def _flash_kernel(
     mask_ref,   # [B, block_kv] bool or None (full batch rows; TPU tiling
                 # forbids sublane-1 blocks, so the row is selected in-kernel)
     o_ref,      # [block_q, d]
+    lse_ref,    # [block_q, LANES] f32 or None (saved for the blocked bwd)
     m_scratch,  # [block_q, LANES] f32
     l_scratch,  # [block_q, LANES] f32
     acc_scratch,  # [block_q, d] f32
@@ -106,6 +107,11 @@ def _flash_kernel(
         l = l_scratch[...][:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[...] = (acc_scratch[...] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log-sum-exp of the scaled scores: exp(s - lse) is the
+            # normalized softmax, which is all the blocked backward needs
+            lse_ref[...] = m_scratch[...] + jnp.log(
+                jnp.where(l_scratch[...] == 0.0, 1.0, l_scratch[...]))
 
 
 def _single_pass_kernel(
@@ -164,10 +170,15 @@ def _flash_attention_fwd_impl(
     block_q: int,
     block_kv: int,
     interpret: bool,
-) -> jax.Array:
+    save_lse: bool = False,
+):
     """Forward pallas call. q: [B, H, Nq, D]; k, v: [B, H, Nk, D];
     kv_mask: optional [B, Nk] bool, True = attend (padded-text masking for
-    cross attention; replaces flash_attn_varlen_func)."""
+    cross attention; replaces flash_attn_varlen_func).
+
+    With save_lse, forces the blocked kernel and returns (out, lse) where
+    lse is the [B*H, Nqp, LANES] log-sum-exp of the scaled scores — the
+    residual the KV-blocked backward consumes."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     if scale is None:
@@ -175,7 +186,7 @@ def _flash_attention_fwd_impl(
 
     block_q = min(block_q, _round_up(Nq, _LANES))
     block_kv = min(block_kv, _round_up(Nk, _LANES))
-    single_pass = Nk <= SINGLE_PASS_MAX_KV
+    single_pass = (Nk <= SINGLE_PASS_MAX_KV) and not save_lse
     Dp = _round_up(D, _LANES)
     if single_pass:
         whole_kv = _round_up(Nk, _LANES)
@@ -245,13 +256,19 @@ def _flash_attention_fwd_impl(
     else:
         def kernel(*refs):
             if kernel_mask:
-                q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s = refs
+                q_ref, k_ref, v_ref, mask_ref, *out_refs = refs
             else:
-                q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s = refs
+                q_ref, k_ref, v_ref, *out_refs = refs
                 mask_ref = None
+            if save_lse:
+                o_ref, lse_ref, m_s, l_s, acc_s = out_refs
+                lse_ref = lse_ref.at[0]
+            else:
+                o_ref, m_s, l_s, acc_s = out_refs
+                lse_ref = None
             _flash_kernel(
                 q_ref.at[0], k_ref.at[0], v_ref.at[0], mask_ref, o_ref.at[0],
-                m_s, l_s, acc_s,
+                lse_ref, m_s, l_s, acc_s,
                 scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
             )
 
@@ -261,12 +278,20 @@ def _flash_attention_fwd_impl(
             pltpu.VMEM((block_q, Dp), jnp.float32),
         ]
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B * H, Nqp, Dp), q.dtype)]
+    if save_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * H, Nqp, _LANES), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -279,7 +304,10 @@ def _flash_attention_fwd_impl(
         interpret=interpret,
     )(*args)
 
-    return out.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D]
+    out = res[0].reshape(B, H, Nqp, Dp)[:, :, :Nq, :D]
+    if save_lse:
+        return out, res[1]
+    return out
 
 
 def _flash_bwd_kernel(
@@ -370,22 +398,12 @@ def _flash_bwd_kernel(
         dv_ref[...] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _flash_attention_bwd_impl(q, k, v, kv_mask, do, scale, interpret):
-    """Pallas backward. Returns (dq, dk, dv) or None when the whole-KV
-    working set cannot fit VMEM (caller falls back to the recompute VJP —
-    only reachable beyond ~4k KV tokens, i.e. above-720p single-frame
-    spatial attention)."""
-    B, H, Nq, D = q.shape
-    Nk = k.shape[2]
-    if scale is None:
-        scale = 1.0 / math.sqrt(D)
+def _bwd_single_pass_block_q(Nq: int, Nk: int, Dp: int, itemsize: int):
+    """q-block rows for the whole-KV single-pass backward, or None when no
+    block fits the VMEM budget (the KV-blocked backward takes over)."""
     if Nk > SINGLE_PASS_MAX_KV:
         return None
-
-    Dp = _round_up(D, _LANES)
     whole_kv = _round_up(Nk, _LANES)
-    itemsize = jnp.dtype(k.dtype).itemsize
-    block_q = None
     for nblocks in range(1, 1 + _round_up(Nq, 16) // 16):
         cand = _round_up(-(-Nq // nblocks), 16)
         vmem = (
@@ -395,8 +413,23 @@ def _flash_attention_bwd_impl(q, k, v, kv_mask, do, scale, interpret):
             + 4 * cand * Dp * 4                # q, do, dq blocks
         )
         if vmem <= (10 << 20):
-            block_q = cand
-            break
+            return cand
+    return None
+
+
+def _flash_attention_bwd_impl(q, k, v, kv_mask, do, scale, interpret):
+    """Single-pass Pallas backward. Returns (dq, dk, dv) or None when the
+    whole-KV working set cannot fit VMEM (caller switches to the KV-blocked
+    backward — beyond ~4k KV tokens, i.e. 480p+ spatial attention)."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+
+    Dp = _round_up(D, _LANES)
+    whole_kv = _round_up(Nk, _LANES)
+    itemsize = jnp.dtype(k.dtype).itemsize
+    block_q = _bwd_single_pass_block_q(Nq, Nk, Dp, itemsize)
     if block_q is None:
         return None
 
@@ -473,6 +506,290 @@ def _flash_attention_bwd_impl(q, k, v, kv_mask, do, scale, interpret):
     return dq, dk, dv
 
 
+def _flash_bwd_dkv_kernel(
+    q_ref,      # [block_q, d]
+    k_ref,      # [block_kv, d]
+    v_ref,      # [block_kv, d]
+    do_ref,     # [block_q, d]
+    lse_ref,    # [block_q, LANES] f32 (log-sum-exp of scaled scores)
+    di_ref,     # [block_q, LANES] f32 (rowsum(dO * O))
+    mask_ref,   # [B, block_kv] bool or None
+    dk_ref,     # [block_kv, d]  f32 (written on the last q block)
+    dv_ref,     # [block_kv, d]  f32
+    dk_scratch,  # [block_kv, d] f32
+    dv_scratch,  # [block_kv, d] f32
+    *,
+    scale: float,
+    kv_seq_len: int,
+    block_kv: int,
+    num_heads: int,
+):
+    """KV-blocked flash backward, dk/dv leg: grid (B*H, kv blocks, q blocks)
+    with q innermost-sequential so dk/dv accumulate in VMEM scratch. The
+    softmax is NOT recomputed from the whole row — `p = exp(s - lse)` with
+    the forward-saved log-sum-exp is the exact normalized probability, so
+    each (q, kv) tile is self-contained (the flash-attn paper's backward;
+    jax.experimental.pallas.ops.tpu.flash_attention uses the same residual
+    split into l and m)."""
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[...][:, :1]     # [bq, 1]
+    di = di_ref[...][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                      # [bq, bkv]
+
+    kv_pos = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = kv_pos < kv_seq_len
+    if mask_ref is not None:
+        batch = pl.program_id(0) // num_heads
+        valid = jnp.logical_and(valid, mask_ref[pl.ds(batch, 1), :])
+    s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+    p = jnp.exp(s - lse)           # normalized: exp(s - m) / l
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                              # [bq, bkv]
+    ds = p * (dp - di)             # [bq, bkv] f32
+
+    dv_scratch[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scratch[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[...] = dk_scratch[...]
+        dv_ref[...] = dv_scratch[...]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref,      # [block_q, d]
+    k_ref,      # [block_kv, d]
+    v_ref,      # [block_kv, d]
+    do_ref,     # [block_q, d]
+    lse_ref,    # [block_q, LANES] f32
+    di_ref,     # [block_q, LANES] f32
+    mask_ref,   # [B, block_kv] bool or None
+    dq_ref,     # [block_q, d] f32 (written on the last kv block)
+    dq_scratch,  # [block_q, d] f32
+    *,
+    scale: float,
+    kv_seq_len: int,
+    block_kv: int,
+    num_heads: int,
+):
+    """KV-blocked flash backward, dq leg: grid (B*H, q blocks, kv blocks)
+    with kv innermost-sequential so dq accumulates in VMEM scratch."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[...][:, :1]
+    di = di_ref[...][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    kv_pos = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = kv_pos < kv_seq_len
+    if mask_ref is not None:
+        batch = pl.program_id(0) // num_heads
+        valid = jnp.logical_and(valid, mask_ref[pl.ds(batch, 1), :])
+    s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)
+
+    dq_scratch[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[...] = dq_scratch[...]
+
+
+_BWD_BLOCK_Q = 512
+_BWD_BLOCK_KV = 512
+
+
+def _flash_attention_bwd_blocked_impl(q, k, v, kv_mask, do, o, lse, scale,
+                                      interpret):
+    """KV-blocked Pallas backward for rows beyond the single-pass VMEM
+    limit (~4k KV tokens — 480p+ spatial attention at training shapes).
+    Consumes the forward-saved lse ([B*H, Nqp, LANES], scaled-score
+    log-sum-exp); no [Nq, Nk] tensor ever reaches HBM."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+
+    Dp = _round_up(D, _LANES)
+    block_q = min(_BWD_BLOCK_Q, _round_up(Nq, _LANES))
+    block_kv = min(_BWD_BLOCK_KV, _round_up(Nk, _LANES))
+    Nqp = _round_up(Nq, block_q)
+    Nkp = _round_up(Nk, block_kv)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Nqp - Nq), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Nkp - Nk), (0, Dp - D)))
+    # zero dO rows kill padded-q contributions to dk/dv (p*(0-0) == 0)
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, Nqp - Nq), (0, Dp - D)))
+
+    qp = qp.reshape(B * H, Nqp, Dp)
+    kp = kp.reshape(B * H, Nkp, Dp)
+    vp = vp.reshape(B * H, Nkp, Dp)
+    dop = dop.reshape(B * H, Nqp, Dp)
+
+    # di = rowsum(P * dP) = rowsum(dO * O) — the flash-bwd identity that
+    # replaces the O-row recompute. The LANES broadcast mirrors the lse
+    # layout (cheap vs. the score tensor this backward avoids).
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    di = jnp.pad(di, ((0, 0), (0, 0), (0, Nqp - Nq))).reshape(B * H, Nqp, 1)
+    di = jnp.broadcast_to(di, (B * H, Nqp, _LANES))
+    # forward-saved lse is padded to the FORWARD q-block multiple; re-pad
+    # to this pass's (padded rows have dO == 0, so their lse value is moot)
+    lse = lse[:, :Nqp]
+    if lse.shape[1] < Nqp:
+        lse = jnp.pad(lse, ((0, 0), (0, Nqp - lse.shape[1]), (0, 0)))
+
+    args = [qp, kp, vp, dop, lse, di]
+    have_mask = kv_mask is not None
+    if have_mask:
+        maskp = jnp.pad(kv_mask, ((0, 0), (0, Nkp - Nk)))
+        args.append(maskp)
+
+    def _specs(q_map, kv_map, mask_map):
+        specs = [
+            pl.BlockSpec((1, block_q, Dp), q_map),
+            pl.BlockSpec((1, block_kv, Dp), kv_map),
+            pl.BlockSpec((1, block_kv, Dp), kv_map),
+            pl.BlockSpec((1, block_q, Dp), q_map),
+            pl.BlockSpec((1, block_q, _LANES), q_map),
+            pl.BlockSpec((1, block_q, _LANES), q_map),
+        ]
+        if have_mask:
+            specs.append(pl.BlockSpec((B, block_kv), mask_map))
+        return specs
+
+    # ---- dk/dv: grid (BH, kv, q), q sequential ------------------------- #
+    def dkv_kernel(*refs):
+        if have_mask:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
+             dk_ref, dv_ref, dks, dvs) = refs
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+             dk_ref, dv_ref, dks, dvs) = refs
+            mask_ref = None
+        _flash_bwd_dkv_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], do_ref.at[0],
+            lse_ref.at[0], di_ref.at[0], mask_ref,
+            dk_ref.at[0], dv_ref.at[0], dks, dvs,
+            scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
+        )
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B * H, Nkp // block_kv, Nqp // block_q),
+        in_specs=_specs(
+            q_map=lambda b, ki, qi: (b, qi, 0),
+            kv_map=lambda b, ki, qi: (b, ki, 0),
+            mask_map=lambda b, ki, qi: (0, ki),
+        ),
+        out_specs=[
+            pl.BlockSpec((1, block_kv, Dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, Dp), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Nkp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Nkp, Dp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, Dp), jnp.float32),
+            pltpu.VMEM((block_kv, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * Nq * Nk * Dp,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # ---- dq: grid (BH, q, kv), kv sequential --------------------------- #
+    def dq_kernel(*refs):
+        if have_mask:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
+             dq_ref, dqs) = refs
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+             dq_ref, dqs) = refs
+            mask_ref = None
+        _flash_bwd_dq_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], do_ref.at[0],
+            lse_ref.at[0], di_ref.at[0], mask_ref,
+            dq_ref.at[0], dqs,
+            scale=scale, kv_seq_len=Nk, block_kv=block_kv, num_heads=H,
+        )
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B * H, Nqp // block_q, Nkp // block_kv),
+        in_specs=_specs(
+            q_map=lambda b, qi, ki: (b, qi, 0),
+            kv_map=lambda b, qi, ki: (b, ki, 0),
+            mask_map=lambda b, qi, ki: (0, ki),
+        ),
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, Dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * Dp,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    dq = dq.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D].astype(q.dtype)
+    dk = dk.reshape(B, H, Nkp, Dp)[:, :, :Nk, :D].astype(k.dtype)
+    dv = dv.reshape(B, H, Nkp, Dp)[:, :, :Nk, :D].astype(v.dtype)
+    return dq, dk, dv
+
+
 def _reference_attention(q, k, v, kv_mask, scale):
     """fp32-softmax reference used for the backward pass (and CPU fallback)."""
     if scale is None:
@@ -490,19 +807,36 @@ def _flash_attention(q, k, v, kv_mask, scale, block_q, block_kv, interpret):
 
 
 def _fa_fwd(q, k, v, kv_mask, scale, block_q, block_kv, interpret):
-    out = _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_kv, interpret)
-    return out, (q, k, v, kv_mask)
+    # Decide AT TRACE TIME which backward will run: the single-pass
+    # whole-KV backward needs no residuals beyond (q, k, v); the KV-blocked
+    # backward consumes the forward's log-sum-exp and output (di identity).
+    Dp = _round_up(q.shape[3], _LANES)
+    itemsize = jnp.dtype(k.dtype).itemsize
+    need_lse = _bwd_single_pass_block_q(
+        q.shape[2], k.shape[2], Dp, itemsize) is None
+    if need_lse:
+        out, lse = _flash_attention_fwd_impl(
+            q, k, v, kv_mask, scale, block_q, block_kv, interpret,
+            save_lse=True)
+        return out, (q, k, v, kv_mask, out, lse)
+    out = _flash_attention_fwd_impl(
+        q, k, v, kv_mask, scale, block_q, block_kv, interpret)
+    return out, (q, k, v, kv_mask, None, None)
 
 
 def _fa_bwd(scale, block_q, block_kv, interpret, res, g):
-    q, k, v, kv_mask = res
+    q, k, v, kv_mask, o, lse = res
+    if lse is not None:
+        # KV-blocked backward (480p+ rows): no [Nq, Nk] tensor in HBM
+        dq, dk, dv = _flash_attention_bwd_blocked_impl(
+            q, k, v, kv_mask, g, o, lse, scale, interpret)
+        return dq, dk, dv, None
     out = _flash_attention_bwd_impl(q, k, v, kv_mask, g, scale, interpret)
     if out is not None:
         dq, dk, dv = out
         return dq, dk, dv, None
-    # KV row too large for the single-pass backward (> ~4k tokens): fall
-    # back to recompute via the fp32-softmax reference (materializes the
-    # score tensor — bounded blast radius, only above-720p spatial rows).
+    # unreachable in practice (lse is saved whenever the single-pass
+    # backward cannot fit); kept as a safety net
     _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, kv_mask, scale), q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None

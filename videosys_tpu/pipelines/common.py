@@ -9,7 +9,10 @@ to XLA, so instead we round the longest real prompt in the batch up to a
 bucket (64-token granularity) and statically slice.  Numerically this is
 exact: tokens beyond the slice are fully masked, the softmax max is
 attained on a real token, and their masked scores underflow to exactly 0.0
-in the softmax numerator, so removing them changes no output bit.  Each
+in the softmax numerator, so removing them changes nothing mathematically.
+(XLA may still reassociate the shorter reductions differently, so isolated
+±1-ulp rounding — at most a ±1 step after uint8 quantization — can occur;
+the engine-level tests bound it.)  Each
 distinct bucket compiles its own denoise program (compile-cached; at most
 `ceil(model_max_length/64)` variants ever exist).
 
