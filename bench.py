@@ -157,6 +157,13 @@ def main():
         "unit": "s",
         "pab_latency_s": round(dt_pab, 3) if dt_pab else None,
         "pab_speedup": round(dt / dt_pab, 3) if dt_pab else None,
+        # denoise-phase-only ratio: read-steps cache cross-attention, so
+        # dense-leg improvements (e.g. text-KV bucketing) shrink the e2e
+        # ratio even as absolute PAB latency improves
+        "pab_denoise_speedup": (
+            round(timings["denoise"] / pab_timings["denoise"], 3)
+            if (timings.get("denoise") and pab_timings.get("denoise"))
+            else None),
         "pab_psnr_vs_dense_db": pab_psnr,
         # this PSNR is measured on RANDOM-INIT weights (zero-egress image):
         # adjacent-step attention is chaotic, so it is a floor, NOT the

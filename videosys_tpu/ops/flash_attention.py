@@ -29,6 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
+# lane width of the saved softmax-stat arrays (lse, di).
+# jax.experimental.pallas.ops.tpu.flash_attention broadcasts its l/m
+# residuals to a full 128-lane vector; 8 is the minimal f32 sublane tile.
+# Measured on v5e: NO temp-memory or wall-time difference vs 128 — TPU
+# HBM layouts tile the minor dim to (8, 128) so an 8-wide array is stored
+# lane-padded anyway. Kept at 8 as the honest logical width.
+_STAT_LANES = 8
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -110,8 +117,9 @@ def _flash_kernel(
         if lse_ref is not None:
             # log-sum-exp of the scaled scores: exp(s - lse) is the
             # normalized softmax, which is all the blocked backward needs
-            lse_ref[...] = m_scratch[...] + jnp.log(
-                jnp.where(l_scratch[...] == 0.0, 1.0, l_scratch[...]))
+            m_s = m_scratch[...][:, :_STAT_LANES]
+            l_s = l_scratch[...][:, :_STAT_LANES]
+            lse_ref[...] = m_s + jnp.log(jnp.where(l_s == 0.0, 1.0, l_s))
 
 
 def _single_pass_kernel(
@@ -282,9 +290,9 @@ def _flash_attention_fwd_impl(
     out_shape = [jax.ShapeDtypeStruct((B * H, Nqp, Dp), q.dtype)]
     if save_lse:
         out_specs.append(
-            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)))
+            pl.BlockSpec((1, block_q, _STAT_LANES), lambda b, i, j: (b, i, 0)))
         out_shape.append(
-            jax.ShapeDtypeStruct((B * H, Nqp, _LANES), jnp.float32))
+            jax.ShapeDtypeStruct((B * H, Nqp, _STAT_LANES), jnp.float32))
 
     res = pl.pallas_call(
         kernel,
@@ -511,8 +519,8 @@ def _flash_bwd_dkv_kernel(
     k_ref,      # [block_kv, d]
     v_ref,      # [block_kv, d]
     do_ref,     # [block_q, d]
-    lse_ref,    # [block_q, LANES] f32 (log-sum-exp of scaled scores)
-    di_ref,     # [block_q, LANES] f32 (rowsum(dO * O))
+    lse_ref,    # [block_q, STAT_LANES] f32 (log-sum-exp of scaled scores)
+    di_ref,     # [block_q, STAT_LANES] f32 (rowsum(dO * O))
     mask_ref,   # [B, block_kv] bool or None
     dk_ref,     # [block_kv, d]  f32 (written on the last q block)
     dv_ref,     # [block_kv, d]  f32
@@ -583,8 +591,8 @@ def _flash_bwd_dq_kernel(
     k_ref,      # [block_kv, d]
     v_ref,      # [block_kv, d]
     do_ref,     # [block_q, d]
-    lse_ref,    # [block_q, LANES] f32
-    di_ref,     # [block_q, LANES] f32
+    lse_ref,    # [block_q, STAT_LANES] f32
+    di_ref,     # [block_q, STAT_LANES] f32
     mask_ref,   # [B, block_kv] bool or None
     dq_ref,     # [block_q, d] f32 (written on the last kv block)
     dq_scratch,  # [block_q, d] f32
@@ -673,7 +681,7 @@ def _flash_attention_bwd_blocked_impl(q, k, v, kv_mask, do, o, lse, scale,
     # layout (cheap vs. the score tensor this backward avoids).
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     di = jnp.pad(di, ((0, 0), (0, 0), (0, Nqp - Nq))).reshape(B * H, Nqp, 1)
-    di = jnp.broadcast_to(di, (B * H, Nqp, _LANES))
+    di = jnp.broadcast_to(di, (B * H, Nqp, _STAT_LANES))
     # forward-saved lse is padded to the FORWARD q-block multiple; re-pad
     # to this pass's (padded rows have dO == 0, so their lse value is moot)
     lse = lse[:, :Nqp]
@@ -692,8 +700,8 @@ def _flash_attention_bwd_blocked_impl(q, k, v, kv_mask, do, o, lse, scale,
             pl.BlockSpec((1, block_kv, Dp), kv_map),
             pl.BlockSpec((1, block_kv, Dp), kv_map),
             pl.BlockSpec((1, block_q, Dp), q_map),
-            pl.BlockSpec((1, block_q, _LANES), q_map),
-            pl.BlockSpec((1, block_q, _LANES), q_map),
+            pl.BlockSpec((1, block_q, _STAT_LANES), q_map),
+            pl.BlockSpec((1, block_q, _STAT_LANES), q_map),
         ]
         if have_mask:
             specs.append(pl.BlockSpec((B, block_kv), mask_map))
