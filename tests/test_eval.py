@@ -96,3 +96,77 @@ def test_eval_pab_shares_weights_high_psnr():
     assert agg["n"] == 1
     assert agg["psnr"] == pytest.approx(100.0)
     assert agg["ssim"] == pytest.approx(1.0)
+
+
+class _StubEngine:
+    """Engine double for plumbing tests: returns a fixed video per call."""
+
+    def __init__(self, video):
+        self._video = video
+        self.calls = []
+
+    def generate(self, prompt, seed=0, **kwargs):
+        self.calls.append((prompt, seed))
+        import types
+        return types.SimpleNamespace(video=self._video)
+
+
+def test_components_ablation_leave_one_out():
+    """Leave-one-out plumbing (components_ablation.py wo_*): each component
+    is disabled exactly once; metrics come back per wo_* key."""
+    from videosys_tpu.eval.pab_eval import components_ablation
+
+    rng = np.random.default_rng(0)
+    ref = (rng.random((1, 2, 16, 16, 3)) * 255).astype(np.uint8)
+    overrides_seen = []
+
+    def make_engine(overrides):
+        overrides_seen.append(overrides)
+        return _StubEngine(np.clip(ref.astype(np.int32) + 3, 0, 255).astype(np.uint8))
+
+    out = components_ablation(make_engine, _StubEngine(ref), ["p"])
+    assert set(out) == {"wo_spatial", "wo_temporal", "wo_cross", "wo_mlp"}
+    assert overrides_seen == [
+        {"spatial_broadcast": False}, {"temporal_broadcast": False},
+        {"cross_broadcast": False}, {"mlp_broadcast": False}]
+    for v in out.values():
+        assert 30 < v["psnr"] < 100 and 0 < v["ssim"] <= 1
+
+
+def test_generate_batch_and_eval_dirs(tmp_path):
+    """Disk protocol end to end: webvid-style {id: prompt} generation to
+    files, then directory-pair eval with filename pairing and gt
+    crop-to-generated geometry (eval.py:55-88)."""
+    from videosys_tpu.eval.batch_eval import eval_dirs, load_video, preprocess_gt_video
+    from videosys_tpu.eval.pab_eval import generate_batch, load_eval_prompts
+
+    csv_path = tmp_path / "prompts.csv"
+    csv_path.write_text("id,text\n0001,a cat\n0002,a dog\n")
+    prompts = load_eval_prompts(str(csv_path))
+    assert prompts == {"0001": "a cat", "0002": "a dog"}
+
+    rng = np.random.default_rng(1)
+    base = (rng.random((3, 24, 24, 3)) * 255).astype(np.uint8)
+    gen_dir, gt_dir = tmp_path / "gen", tmp_path / "gt"
+    written = generate_batch(_StubEngine(base), prompts, str(gen_dir))
+    assert len(written) == 2 and all(w.endswith(".gif") for w in written)
+    # skip_existing: a second run writes nothing
+    assert generate_batch(_StubEngine(base), prompts, str(gen_dir)) == []
+
+    # ground truth: longer and larger clips -> T-trim + center crop path
+    import imageio
+    gt_dir.mkdir()
+    for vid in ("0001", "0002"):
+        big = np.zeros((4, 32, 32, 3), np.uint8)
+        big[:3, 4:28, 4:28] = load_video(str(gen_dir / f"{vid}.gif"))
+        imageio.mimwrite(str(gt_dir / f"{vid}.gif"), list(big), duration=100)
+
+    out = eval_dirs(str(gen_dir), str(gt_dir), file_extension="gif",
+                    batch_size=1)
+    assert out["n"] == 2
+    assert out["psnr"] > 25 and 0 < out["ssim"] <= 1
+
+    # upscale branch: gt smaller than generated
+    small = (rng.random((3, 12, 12, 3)) * 255).astype(np.uint8)
+    fitted = preprocess_gt_video(small, (3, 24, 24))
+    assert fitted.shape == (3, 24, 24, 3)

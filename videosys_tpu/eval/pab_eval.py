@@ -102,6 +102,82 @@ def attention_ablation(
     return out
 
 
+def components_ablation(
+    make_engine: Callable[[dict], Any],
+    dense_engine: Any,
+    prompts: Sequence[str],
+    generate_kwargs: Optional[dict] = None,
+    seed: int = 0,
+) -> Dict[str, Dict[str, float]]:
+    """Leave-one-out PAB component ablation (experiments/
+    components_ablation.py wo_spatial/wo_temporal/wo_cross/wo_mlp :7-40):
+    for each component, disable ONLY it and keep the model's default PAB
+    config for the rest. `make_engine(pab_overrides) -> engine` with PAB
+    enabled and the overrides applied on top of the pipeline defaults."""
+    generate_kwargs = generate_kwargs or {}
+    refs = {p: dense_engine.generate(p, seed=seed, **generate_kwargs).video
+            for p in prompts}
+    out: Dict[str, Dict[str, float]] = {}
+    for component in ("spatial", "temporal", "cross", "mlp"):
+        engine = make_engine({f"{component}_broadcast": False})
+        scores = []
+        for p in prompts:
+            v = engine.generate(p, seed=seed, **generate_kwargs).video
+            m = evaluate_pair(v, refs[p])
+            scores.append((m["psnr"]["value"], m["ssim"]["value"]))
+        arr = np.asarray(scores)
+        out[f"wo_{component}"] = {"psnr": float(arr[:, 0].mean()),
+                                  "ssim": float(arr[:, 1].mean())}
+    return out
+
+
+def load_eval_prompts(csv_file_path: str) -> Dict[str, str]:
+    """WebVid eval prompt loader (eval/pab/webvid/utils.py load_eval_prompts:
+    CSV with `id` and `text` columns -> {id: prompt})."""
+    import csv
+
+    prompts = {}
+    with open(csv_file_path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            prompts[row["id"]] = row["text"]
+    return prompts
+
+
+def generate_batch(
+    engine: Any,
+    prompts,
+    output_dir: str,
+    loop: int = 1,
+    generate_kwargs: Optional[dict] = None,
+    skip_existing: bool = True,
+) -> List[str]:
+    """Batch generation to disk for directory-pair eval (experiments/utils.py
+    generate_func :10-16 and webvid/utils.py :17-25). `prompts` is either a
+    {id: prompt} dict (webvid style, seed 0, one clip per id) or a list of
+    prompts (ablation style, `loop` seeds per prompt, filename
+    `{prompt}-{l}`). Returns the written paths."""
+    import os
+
+    from videosys_tpu.utils.video import save_video
+
+    generate_kwargs = dict(generate_kwargs or {})
+    if isinstance(prompts, dict):
+        items = [(idx, prompt, 0) for idx, prompt in prompts.items()]
+    else:
+        items = [(f"{prompt}-{l}", prompt, l)
+                 for prompt in prompts for l in range(loop)]
+    written = []
+    for name, prompt, seed in items:
+        path = os.path.join(output_dir, f"{name}.mp4")
+        # save_video falls back to .gif when no mp4 encoder exists
+        if skip_existing and (os.path.exists(path)
+                              or os.path.exists(path[:-4] + ".gif")):
+            continue
+        video = engine.generate(prompt, seed=seed, **generate_kwargs).video
+        written.append(save_video(video, path))
+    return written
+
+
 def read_vbench_prompts(path: str) -> List[str]:
     """VBench prompt list loader (eval/pab/experiments/utils.py
     read_prompt_list: the full-info JSON's `prompt_en` fields)."""
