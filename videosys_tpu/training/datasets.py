@@ -215,3 +215,110 @@ def prepare_dataloader(dataset, bucket_config: dict, batch_multiplier: int = 1,
         seed=seed, planner=planner, frame_interval=frame_interval,
         drop_last=drop_last)
     return sampler, bucket
+
+
+class PreprocessedLatentDataset:
+    """Pre-encoded training data: the consumer of `examples/training/
+    open_sora/preprocess.py` outputs (latent_{i}.npy + text_{i}.npz + a
+    preprocessed.csv with the original pixel shapes for bucketing).
+
+    Reference counterpart: the preprocessed-latents branch of
+    `videosys/training/datasets/open_sora/datasets.py` (VariableVideoText-
+    Dataset with data_process='pre_process'), whose IO rides torch's native
+    DataLoader workers. Here IO goes through `videosys_tpu.native`'s C++
+    read pool when it is available on the host: `load_latents` submits every
+    file of a micro-batch concurrently, and `prefetch` lets the train loop
+    push the whole plan's reads behind the current device step (GIL-free).
+    Falls back to plain np.load when the native library can't build."""
+
+    def __init__(self, csv_path: str, native_threads: int = 4):
+        import pandas as pd
+
+        self.df = pd.read_csv(csv_path)
+        self._headers: dict = {}   # path -> (shape, dtype, payload_offset)
+        self._pending: dict = {}   # index -> (job, dst)
+        self._pool = None
+        if native_threads > 0:
+            from videosys_tpu import native
+
+            if native.available():
+                self._npy_header = native.npy_header
+                self._pool = native.NativeReadPool(native_threads)
+
+    def __len__(self):
+        return len(self.df)
+
+    def shape_of(self, i: int) -> Tuple[int, int, int]:
+        row = self.df.iloc[i]
+        return int(row["num_frames"]), int(row["height"]), int(row["width"])
+
+    def shapes(self) -> List[Tuple[int, int, int]]:
+        return [self.shape_of(i) for i in range(len(self))]
+
+    def __getitem__(self, i: int) -> Sample:
+        row = self.df.iloc[i]
+        return Sample(i, int(row["num_frames"]), int(row["height"]),
+                      int(row["width"]), str(row.get("text", "")),
+                      row.get("latent_path"))
+
+    # ------------------------------------------------------------------ #
+    # latents
+    # ------------------------------------------------------------------ #
+    def _header(self, path: str):
+        h = self._headers.get(path)
+        if h is None:
+            h = self._npy_header(path)
+            self._headers[path] = h
+        return h
+
+    def _submit(self, i: int) -> None:
+        if i in self._pending:
+            return
+        path = str(self.df.iloc[i]["latent_path"])
+        shape, dtype, off = self._header(path)
+        dst = np.empty(shape, dtype)
+        self._pending[i] = (self._pool.submit(path, dst, offset=off), dst)
+
+    def prefetch(self, indices) -> None:
+        """Queue the latent reads for `indices` on the native pool (no-op on
+        the numpy fallback). Safe to call with indices already in flight."""
+        if self._pool is not None:
+            for i in indices:
+                self._submit(int(i))
+
+    def _read_one(self, i: int) -> np.ndarray:
+        if self._pool is None:
+            return np.load(str(self.df.iloc[i]["latent_path"]))
+        self._submit(i)
+        job, dst = self._pending.pop(i)
+        self._pool.wait(job)
+        return dst
+
+    def load_latents(self, indices, latent_thw, rng_seed: int = 0) -> np.ndarray:
+        """[B, C, t, h, w] float32. Submits all of `indices` before waiting on
+        any, so a micro-batch's files stream concurrently."""
+        self.prefetch(indices)
+        lat = np.stack([self._read_one(int(i)) for i in indices])
+        if tuple(lat.shape[2:]) != tuple(latent_thw):
+            raise ValueError(
+                f"preprocessed latents are {lat.shape[2:]}, bucket wants "
+                f"{tuple(latent_thw)} — re-run preprocess.py with the "
+                f"bucket's (frames, height, width)")
+        return lat.astype(np.float32)
+
+    # ------------------------------------------------------------------ #
+    # captions (train.py text_embed_fn contract)
+    # ------------------------------------------------------------------ #
+    def text_embeds(self, indices):
+        """(y [B, L, D] float32, kv_mask [B, L] bool) from the stored npz."""
+        ys, masks = [], []
+        for i in indices:
+            with np.load(str(self.df.iloc[int(i)]["text_path"])) as z:
+                ys.append(np.asarray(z["y"], np.float32))
+                masks.append(np.asarray(z["mask"], bool))
+        return np.stack(ys), np.stack(masks)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None

@@ -236,6 +236,10 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
         gas loop), stacked on a leading gas axis and placed on the plan's
         mesh (batch over dp/cp; the model's constraints shard sp)."""
         micro_batches = plan.micro_batches()
+        if hasattr(dataset, "prefetch"):
+            # queue the whole plan's reads on the native IO pool so later
+            # micro-batches stream while earlier ones are encoded/stepped
+            dataset.prefetch([int(i) for mb in micro_batches for i in mb])
         gas = len(micro_batches)
         t_lat = lat_shape[0]
         micros = []
