@@ -40,3 +40,18 @@ def test_training_example(tmp_path):
                               "1", "--dataset-size", "8",
                               "--ckpt-dir", str(tmp_path)])
     assert step == 2
+
+
+def test_pab_experiments_example(tmp_path):
+    """eval/pab experiments CLI: components ablation + quality pair run on a
+    tiny shared-weights engine set (the webvid + batch_eval legs are covered
+    by tests/test_eval.py)."""
+    import numpy as np
+
+    mod = _load("examples/eval/pab_experiments.py")
+    out = mod.run_components_ablation(tiny=True, outdir=str(tmp_path))
+    assert set(out) == {"wo_spatial", "wo_temporal", "wo_cross", "wo_mlp"}
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "components_ablation.json"))
+    q = mod.run_pab_quality(tiny=True)
+    assert q["n"] == 1 and np.isfinite(q["psnr"])
