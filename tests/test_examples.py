@@ -55,3 +55,15 @@ def test_pab_experiments_example(tmp_path):
                                        "components_ablation.json"))
     q = mod.run_pab_quality(tiny=True)
     assert q["n"] == 1 and np.isfinite(q["psnr"])
+
+
+@pytest.mark.slow
+def test_dcp_throughput_experiment():
+    """experiments/dcp_throughput.py tiny mode: the DCP (bs ladder +
+    remat escalation) epoch must not be slower than the bs=1 bucketed
+    baseline on the same sample mix, and the accounting keys must exist."""
+    mod = _load("experiments/dcp_throughput.py")
+    out = mod.main(["--tiny"])
+    assert out["dcp_epoch_s"] > 0
+    assert out["dcp_vs_bucketed"] >= 0.9  # allow timing noise, forbid regress
+    assert {r["bucket"] for r in out["buckets"]} == {"144px1f", "144px16f"}

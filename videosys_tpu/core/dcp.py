@@ -32,6 +32,16 @@ from videosys_tpu.training.buckets import Bucket, BucketId
 from videosys_tpu.training.sampler import DCPPlanner
 
 
+def _sync(out) -> None:
+    """Completion barrier for wall-time measurement. On tunneled backends
+    (axon) `jax.block_until_ready` returns immediately (docs/performance.md
+    "Method"); fetching an output leaf to the host is the reliable barrier —
+    the smallest leaf, so the D2H itself stays negligible."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "size")]
+    if leaves:
+        jax.device_get(min(leaves, key=lambda l: l.size))
+
+
 @dataclasses.dataclass
 class BucketProfile:
     bucket_id: BucketId
@@ -49,7 +59,9 @@ class Profiler:
 
     `step_builder(thw, bs, sp) -> (jitted_fn, example_args)` must return the
     train step specialized to one bucket shape (the caller owns model/mesh
-    construction so dynamic-sp uses a MeshPool on real hardware).
+    construction so dynamic-sp uses a MeshPool on real hardware). The
+    returned fn must NOT donate its arguments: wall-time measurement calls
+    the compiled executable repeatedly on the same example args.
     """
 
     def __init__(
@@ -147,11 +159,9 @@ class Profiler:
                 fits = mem_bytes <= self.memory_budget
                 t = flops / 1e12  # crude prior, refined below
                 if fits and self.measure_wall_time:
-                    out = compiled(*args)
-                    jax.block_until_ready(out)
+                    _sync(compiled(*args))  # warm caches / page in args
                     t0 = time.perf_counter()
-                    out = compiled(*args)
-                    jax.block_until_ready(out)
+                    _sync(compiled(*args))
                     t = time.perf_counter() - t0
                 last = BucketProfile(bucket_id, bs, sp, t, mem_bytes, flops,
                                      fits, policy)
@@ -188,11 +198,9 @@ class Profiler:
                 break
             t = flops / 1e12
             if self.measure_wall_time:
-                out = compiled(*args)
-                jax.block_until_ready(out)
+                _sync(compiled(*args))
                 t0 = time.perf_counter()
-                out = compiled(*args)
-                jax.block_until_ready(out)
+                _sync(compiled(*args))
                 t = time.perf_counter() - t0
             best = BucketProfile(prof.bucket_id, bs, prof.sp, t, mem_bytes,
                                  flops, True, prof.remat_policy)
