@@ -47,11 +47,10 @@ def _latent_thw(T, H, W):
     return t_lat, H // 8, W // 8
 
 
-def _build_step(mc, policy, thw, bs, donate=True):
-    """Production train step (make_train_step) at one bucket shape. `donate`
-    jits with state donation (steady-state training memory); the Profiler
-    path must NOT donate because it calls the same executable repeatedly on
-    the same example args."""
+def _build_step(mc, policy, thw, bs):
+    """Production train step (make_train_step) at one bucket shape, jitted
+    with state donation exactly like the production loop (the Profiler
+    rebuilds fresh args per executed call, so donation is safe)."""
     from videosys_tpu.models.transformers.stdit3 import STDiT3
     from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
     from videosys_tpu.training import train_step as ts
@@ -73,7 +72,7 @@ def _build_step(mc, policy, thw, bs, donate=True):
     state = ts.create_train_state(params, tx)
     fn = ts.make_train_step(model, sched, tx, float(H), float(W),
                             num_frames=int(T))
-    step = jax.jit(fn, donate_argnums=(0,)) if donate else jax.jit(fn)
+    step = jax.jit(fn, donate_argnums=(0,))
     return step, state, batch
 
 
@@ -128,7 +127,9 @@ def main(argv=None):
 
     # --- DCP discovery: production Profiler (bs ladder + remat escalation) --
     def step_builder(thw, bs, sp, policy="full"):
-        step, state, batch = _build_step(mc, policy, thw, bs, donate=False)
+        # donated, like the production loop: the Profiler rebuilds example
+        # args through this builder for each executed timing call
+        step, state, batch = _build_step(mc, policy, thw, bs)
         return step, (state, jax.random.key(0), batch)
 
     prof = Profiler(bucket, step_builder, sp_candidates=(1,),

@@ -73,6 +73,50 @@ def test_generate_deterministic_with_seed(engine):
     np.testing.assert_array_equal(a, b)
 
 
+def test_batched_prompts_match_singles(engine, tmp_path):
+    """TPU-first extension: a prompt LIST runs one batched denoise whose row
+    i matches generate(prompt_i, seed=seed+i) — batching is pure throughput,
+    not a different sampler. Same latent draws by construction; pixel values
+    may differ by one uint8 level where batch-size-dependent reduction order
+    flips the last fp ulp across the rounding boundary. Also covers explicit
+    seed lists and batched save_video."""
+
+    def _assert_rows_match(a, b):
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert diff.max() <= 1, f"max pixel diff {diff.max()} > 1 level"
+        assert (diff != 0).mean() < 0.01  # <1% of pixels at the boundary
+
+    kw = dict(resolution="144p", aspect_ratio="1:1", num_frames=1)
+    batched = engine.generate(["a red square", "ocean waves at dusk"],
+                              seed=7, **kw).video
+    assert batched.shape[0] == 2
+    s0 = engine.generate("a red square", seed=7, **kw).video
+    s1 = engine.generate("ocean waves at dusk", seed=8, **kw).video
+    _assert_rows_match(batched[0], s0[0])
+    _assert_rows_match(batched[1], s1[0])
+    # explicit per-sample seeds
+    again = engine.generate(["a red square", "ocean waves at dusk"],
+                            seed=[7, 8], **kw).video
+    np.testing.assert_array_equal(again, batched)
+    with pytest.raises(ValueError):
+        engine.generate(["a", "b"], seed=[1], **kw)
+    paths = engine.save_video(batched, str(tmp_path / "batch.mp4"))
+    assert len(paths) == 2
+
+
+def test_loop_prompt_syntax(engine):
+    """The reference's |0|-per-loop prompt syntax (pipeline_open_sora.py
+    :753-786): loop 0 and loop 1 use different prompts; the result differs
+    from the constant-prompt loop run but has the same stitched length."""
+    kw = dict(resolution="144p", aspect_ratio="1:1", num_frames=18,
+              loop=2, seed=3)
+    multi = engine.generate("|0| a sunny day |1| a rainy day", **kw).video
+    const = engine.generate("a sunny day", **kw).video
+    assert multi.shape == const.shape
+    assert multi.shape[1] > 18  # loops stitched (condition frames dropped)
+    assert not np.array_equal(multi, const)
+
+
 def test_pab_runs_and_is_close_to_dense():
     """PAB reuses attention across steps: output must stay close to dense
     (BASELINE.md: latent PSNR >= 35 dB gate is benchmarked on the real model;

@@ -59,9 +59,14 @@ class Profiler:
 
     `step_builder(thw, bs, sp) -> (jitted_fn, example_args)` must return the
     train step specialized to one bucket shape (the caller owns model/mesh
-    construction so dynamic-sp uses a MeshPool on real hardware). The
-    returned fn must NOT donate its arguments: wall-time measurement calls
-    the compiled executable repeatedly on the same example args.
+    construction so dynamic-sp uses a MeshPool on real hardware). The fn
+    should be jitted with the SAME donation as the production loop
+    (donate_argnums=(0,)): the memory analysis then reflects the
+    input/output aliasing the real training step gets — without it the
+    plan double-counts the train state (in + out resident at once) and the
+    profiler escalates sp/remat far too early. Wall-time measurement
+    rebuilds fresh example args via the builder for each executed call, so
+    donation is safe.
     """
 
     def __init__(
@@ -71,7 +76,7 @@ class Profiler:
         memory_budget_bytes: Optional[int] = None,
         sp_candidates: Tuple[int, ...] = (1,),
         measure_wall_time: bool = True,
-        alloc_memory_fraction: float = 0.70,
+        alloc_memory_fraction: float = 0.92,
         remat_candidates: Tuple[str, ...] = ("full",),
         bs_escalate: bool = True,
         max_bs: int = 128,
@@ -84,8 +89,13 @@ class Profiler:
                 memory_budget_bytes = int(stats.get("bytes_limit", 16 << 30))
             except Exception:
                 memory_budget_bytes = 16 << 30
-        # same deadlock-avoidance margin the reference documents
-        # (profiler.py:500-503 / train.py:500-504)
+        # The reference caps at 0.70 to avoid a CUDA-allocator OOM <->
+        # collective deadlock class (profiler.py:500-503 / train.py:500-504).
+        # That class does not exist here: the compiled XLA memory plan is
+        # EXACT (no fragmentation, no trial allocation), so the margin only
+        # needs to cover runtime scratch — 8% measured-safe on v5e. The old
+        # 0.70 left a 1.2B-param model unable to escalate bs at all
+        # (13.8 GiB args+opt vs an 11.2 GiB budget on a 16 GiB chip).
         self.memory_budget = int(memory_budget_bytes * alloc_memory_fraction)
         self.sp_candidates = tuple(sorted(sp_candidates))
         # recompute escalation (reference dynamic_recompute analog): listed
@@ -121,17 +131,36 @@ class Profiler:
         mem = compiled.memory_analysis()
         mem_bytes = 0
         if mem is not None:
+            # resident = args + outputs + temps + code MINUS the
+            # donation-aliased bytes (a donated output reuses its input
+            # buffer; without the subtraction a donated train step
+            # double-counts the whole train state)
             mem_bytes = int(
                 getattr(mem, "temp_size_in_bytes", 0)
                 + getattr(mem, "argument_size_in_bytes", 0)
                 + getattr(mem, "output_size_in_bytes", 0)
                 + getattr(mem, "generated_code_size_in_bytes", 0)
+                - getattr(mem, "alias_size_in_bytes", 0)
             )
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
         flops = float((cost or {}).get("flops", 0.0))
         return mem_bytes, flops, compiled, args
+
+    def _measure(self, compiled, args, thw, bs, sp, policy) -> float:
+        """One warmed wall-time measurement. The warmup call may CONSUME
+        `args` (donation), so fresh example args are rebuilt through the
+        step_builder for the timed call; outputs are dropped immediately so
+        at most one train state is resident per phase."""
+        _sync(compiled(*args))  # warmup (donates args)
+        if self._builder_takes_policy:
+            _, args = self.step_builder(thw, bs, sp, policy=policy)
+        else:
+            _, args = self.step_builder(thw, bs, sp)
+        t0 = time.perf_counter()
+        _sync(compiled(*args))
+        return time.perf_counter() - t0
 
     def profile_bucket(self, bucket_id: BucketId, bs: int) -> BucketProfile:
         """Escalate sp (x2, :651-708) until the compiled memory plan fits.
@@ -159,10 +188,19 @@ class Profiler:
                 fits = mem_bytes <= self.memory_budget
                 t = flops / 1e12  # crude prior, refined below
                 if fits and self.measure_wall_time:
-                    _sync(compiled(*args))  # warm caches / page in args
-                    t0 = time.perf_counter()
-                    _sync(compiled(*args))
-                    t = time.perf_counter() - t0
+                    try:
+                        t = self._measure(compiled, args, thw, bs, sp,
+                                          policy)
+                    except Exception as e:
+                        # static plan fit but execution exhausted the chip
+                        # (runtime scratch beyond the margin): treat as a
+                        # non-fit, like the reference's CUDA OOM catch
+                        fits = False
+                        self.failures.append(
+                            {"bucket": bucket_id, "bs": bs, "sp": sp,
+                             "policy": policy, "phase": "execute",
+                             "error": f"{type(e).__name__}: {e}"})
+                compiled = args = None  # free this candidate's HBM
                 last = BucketProfile(bucket_id, bs, sp, t, mem_bytes, flops,
                                      fits, policy)
                 if fits:
@@ -180,8 +218,10 @@ class Profiler:
 
     def _escalate_bs(self, thw, prof: BucketProfile) -> BucketProfile:
         """Double bs at the fitting (sp, policy) while the compiled plan
-        fits the budget (static-analysis OOM probe — no fragile trial runs,
-        unlike the reference's CUDA OOM-catch ladder)."""
+        fits the budget. The fit decision is the static memory plan (exact,
+        unlike the reference's CUDA OOM-catch ladder); execution happens
+        only to measure wall time, and a runtime failure there keeps the
+        last rung that ran."""
         best = prof
         bs = prof.bs * 2
         while bs <= self.max_bs:
@@ -198,10 +238,16 @@ class Profiler:
                 break
             t = flops / 1e12
             if self.measure_wall_time:
-                _sync(compiled(*args))
-                t0 = time.perf_counter()
-                _sync(compiled(*args))
-                t = time.perf_counter() - t0
+                try:
+                    t = self._measure(compiled, args, thw, bs,
+                                      prof.sp, prof.remat_policy)
+                except Exception as e:
+                    self.failures.append(
+                        {"bucket": prof.bucket_id, "bs": bs, "sp": prof.sp,
+                         "policy": prof.remat_policy, "phase": "execute",
+                         "error": f"{type(e).__name__}: {e}"})
+                    break  # keep the last rung that actually ran
+            compiled = args = None  # free before the next ladder rung
             best = BucketProfile(prof.bucket_id, bs, prof.sp, t, mem_bytes,
                                  flops, True, prof.remat_policy)
             bs *= 2

@@ -170,6 +170,47 @@ def append_score_to_prompts(prompts, aes=None, flow=None, camera_motion=None):
     return new_prompts
 
 
+def split_prompt(prompt_text: str):
+    """Parse the per-loop prompt syntax ``|0| text a |1| text b`` into
+    (text_list, loop_idx_list); plain prompts return ([text], None)
+    (reference pipeline_open_sora.py:769-784)."""
+    if prompt_text.startswith("|0|"):
+        parts = prompt_text.split("|")[1:]
+        text_list, loop_idx = [], []
+        for i in range(0, len(parts), 2):
+            loop_idx.append(int(parts[i]))
+            text_list.append(parts[i + 1].strip())
+        return text_list, loop_idx
+    return [prompt_text], None
+
+
+def merge_prompt(text_list, loop_idx_list=None) -> str:
+    """Inverse of split_prompt (reference :787-794)."""
+    if loop_idx_list is None:
+        return text_list[0]
+    return "".join(f"|{idx}|{text}"
+                   for idx, text in zip(loop_idx_list, text_list))
+
+
+def extract_prompts_loop(prompts, num_loop: int):
+    """Per-loop prompt selection: segment k covers loops
+    [start_k, start_{k+1}) (reference :753-766)."""
+    ret = []
+    for prompt in prompts:
+        if prompt.startswith("|0|"):
+            parts = prompt.split("|")[1:]
+            text_list = []
+            for i in range(0, len(parts), 2):
+                start_loop = int(parts[i])
+                text = parts[i + 1]
+                end_loop = (int(parts[i + 2]) if i + 2 < len(parts)
+                            else num_loop + 1)
+                text_list.extend([text] * (end_loop - start_loop))
+            prompt = text_list[num_loop]
+        ret.append(prompt)
+    return ret
+
+
 def refine_prompt(prompt: str, model: str = "gpt-4o",
                   example_path: str = None) -> str:
     """Optional OpenAI prompt refinement (pipeline_open_sora.py:897-959).

@@ -37,8 +37,11 @@ from videosys_tpu.models.text_encoders.t5 import StubTextEncoder, T5TextEncoder
 from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
 from videosys_tpu.pipelines.open_sora.data_process import (
     append_score_to_prompts,
+    extract_prompts_loop,
     get_image_size,
     get_num_frames,
+    merge_prompt,
+    split_prompt,
     text_preprocessing,
 )
 from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
@@ -328,11 +331,11 @@ class OpenSoraPipeline(VideoSysPipeline):
     # ------------------------------------------------------------------ #
     def generate(
         self,
-        prompt: str,
+        prompt,
         resolution: str = "480p",
         aspect_ratio: str = "9:16",
         num_frames="2s",
-        seed: int = -1,
+        seed=-1,
         guidance_scale: Optional[float] = None,
         aes: float = 6.5,
         flow: Optional[float] = None,
@@ -357,28 +360,56 @@ class OpenSoraPipeline(VideoSysPipeline):
         num_frames = get_num_frames(num_frames)
         if guidance_scale is None:
             guidance_scale = cfg.cfg_scale
-        if seed < 0:
-            seed = np.random.randint(0, 2**31 - 1)
-        rng = jax.random.key(seed)
 
-        # --- prompt processing (:530-607) ------------------------------- #
+        # --- batched prompts & per-sample seeds (TPU-first extension of the
+        # reference's single-prompt surface: the whole denoise below is
+        # batch-general, and batching prompts is the cheapest MFU lever on a
+        # chip; batched([p_i], seed=s) row i == generate(p_i, seed=s+i)) --- #
+        prompt_list = (list(prompt) if isinstance(prompt, (list, tuple))
+                       else [prompt])
+        B = len(prompt_list)
+        if isinstance(seed, (list, tuple)):
+            if len(seed) != B:
+                raise ValueError(
+                    f"seed list length {len(seed)} != {B} prompts")
+            seeds = [int(s) for s in seed]
+        else:
+            base = int(seed) if seed >= 0 else np.random.randint(0, 2**31 - 1)
+            seeds = [base + i for i in range(B)]
+        # per-sample RNG streams; stream 0 doubles as the batch-level stream
+        # (mask noise, condition-frame keys) so B=1 is bit-identical to the
+        # single-prompt code path
+        rngs = [jax.random.key(s) for s in seeds]
+
+        # --- prompt processing (:530-607); the reference's order: split
+        # loop segments (:753-786), append scores (:588-595), THEN clean
+        # (:598-601) ------------------------------------------------------ #
         _t0 = _time.perf_counter()
-        prompts = [text_preprocessing(prompt)]
-        prompts = append_score_to_prompts(prompts, aes=aes, flow=flow,
-                                          camera_motion=camera_motion)
-        y, kv_mask = self.text_encoder.encode(prompts)
-        np.asarray(y[..., :1])  # sync for the phase timer (tiny transfer)
-        _t_text = _time.perf_counter() - _t0
-        B = y.shape[0]
-        y_null = self.null_embed(B)
-        y_all = jnp.concatenate([y, y_null], axis=0).astype(self.dtype)
-        kv_mask_all = jnp.concatenate([kv_mask, kv_mask], axis=0)
-        self.last_text_kv_len = y_all.shape[1]
-        if getattr(cfg, "text_kv_bucket", False):
-            from videosys_tpu.pipelines.common import bucket_text_kv
+        merged_prompts = []
+        for p in prompt_list:
+            segs, loop_idx = split_prompt(p)
+            segs = append_score_to_prompts(segs, aes=aes, flow=flow,
+                                           camera_motion=camera_motion)
+            segs = [text_preprocessing(s) for s in segs]
+            merged_prompts.append(merge_prompt(segs, loop_idx))
 
-            y_all, kv_mask_all, self.last_text_kv_len = bucket_text_kv(
-                y_all, kv_mask_all, self.model_config.model_max_length)
+        def _encode_prompts(texts):
+            y, kv_mask = self.text_encoder.encode(texts)
+            np.asarray(y[..., :1])  # sync for the phase timer (tiny transfer)
+            y_null = self.null_embed(len(texts))
+            y_all = jnp.concatenate([y, y_null], axis=0).astype(self.dtype)
+            kv_mask_all = jnp.concatenate([kv_mask, kv_mask], axis=0)
+            self.last_text_kv_len = y_all.shape[1]
+            if getattr(cfg, "text_kv_bucket", False):
+                from videosys_tpu.pipelines.common import bucket_text_kv
+
+                y_all, kv_mask_all, self.last_text_kv_len = bucket_text_kv(
+                    y_all, kv_mask_all, self.model_config.model_max_length)
+            return y_all, kv_mask_all
+
+        cur_texts = extract_prompts_loop(merged_prompts, 0)
+        y_all, kv_mask_all = _encode_prompts(cur_texts)
+        _t_text = _time.perf_counter() - _t0
 
         # --- latents + denoise, once per loop (:607-643) ------------------- #
         from videosys_tpu.pipelines.open_sora import mask_strategy as ms_mod
@@ -394,7 +425,7 @@ class OpenSoraPipeline(VideoSysPipeline):
         refs = [None] * B
         strategies = [mask_strategy] * B
         if reference is not None:
-            rng, rkey = jax.random.split(rng)
+            rngs[0], rkey = jax.random.split(rngs[0])
             ref_lat = ms_mod.load_reference(reference, self.vae,
                                             self.params["vae"],
                                             (height, width), rkey)
@@ -408,15 +439,31 @@ class OpenSoraPipeline(VideoSysPipeline):
         with mesh_ctx:
             for loop_i in range(loop):
                 if loop_i > 0:
-                    rng, akey = jax.random.split(rng)
+                    rngs[0], akey = jax.random.split(rngs[0])
                     refs, strategies = ms_mod.append_generated(
                         self.vae, self.params["vae"], clips[-1], refs,
                         strategies, loop_i, condition_frame_length,
                         condition_frame_edit, akey)
-                rng, zkey = jax.random.split(rng)
-                z = jax.random.normal(
-                    zkey, (B, self.vae.out_channels, t_lat, h_lat, w_lat),
-                    jnp.float32)
+                    # per-loop prompt segments (|0|-syntax): re-encode when
+                    # any prompt changes for this loop (reference :611-626)
+                    texts_i = extract_prompts_loop(merged_prompts, loop_i)
+                    if texts_i != cur_texts:
+                        _te = _time.perf_counter()
+                        y_all, kv_mask_all = _encode_prompts(texts_i)
+                        cur_texts = texts_i
+                        _t_text += _time.perf_counter() - _te
+                # per-sample z streams: sample i depends only on seeds[i], so
+                # a batched generate row-matches the per-prompt single runs
+                zkeys = []
+                for i in range(B):
+                    rngs[i], zk = jax.random.split(rngs[i])
+                    zkeys.append(zk)
+                shape1 = (1, self.vae.out_channels, t_lat, h_lat, w_lat)
+                z = (jax.random.normal(zkeys[0], shape1, jnp.float32)
+                     if B == 1 else
+                     jnp.concatenate([jax.random.normal(zk, shape1,
+                                                        jnp.float32)
+                                      for zk in zkeys], axis=0))
                 if any(s for s in strategies) or any(r for r in refs):
                     # condition-frame path: host-side latent edit
                     z_np, mask = ms_mod.apply_mask_strategy(
@@ -483,7 +530,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                         step_fn = self._get_masked_step_fn(
                             plans[i], float(height), float(width),
                             float(guidance_scale))
-                        rng, nkey = jax.random.split(rng)
+                        rngs[0], nkey = jax.random.split(rngs[0])
                         z, cache, noise_added = step_fn(
                             self.params["transformer"], z, t_i, dt_i, y_all,
                             kv_mask_all, fps_arr, cache, mask_arr,

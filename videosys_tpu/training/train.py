@@ -154,7 +154,11 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             params = jax.eval_shape(lambda: _init_params(model, cfg, batch))
             params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
             state = create_train_state(params, tx)
-            return jax.jit(fn), (state, jax.random.key(0), batch)
+            # donate like the production step (:399-403): the profiler's
+            # memory plan must see the same in/out train-state aliasing
+            return jax.jit(fn, donate_argnums=(0,)), (state,
+                                                      jax.random.key(0),
+                                                      batch)
 
         profiler = Profiler(bucket, step_builder,
                             sp_candidates=(cfg.sp_size,) if not cfg.dynamic_sp

@@ -15,6 +15,11 @@ def save_video(video, output_path: str, fps: int = 24) -> str:
     video = np.asarray(video)
     if video.ndim == 5 and video.shape[0] == 1:
         video = video[0]  # tolerate a batch-1 [B, T, H, W, C] pipeline output
+    elif video.ndim == 5:
+        # batched multi-prompt output: one file per sample, indexed suffix
+        base, ext = os.path.splitext(output_path)
+        return [save_video(video[i], f"{base}_{i}{ext}", fps=fps)
+                for i in range(video.shape[0])]
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     if video.ndim == 4 and video.shape[0] == 1:
         output_path = output_path if output_path.endswith(".png") else output_path + ".png"
