@@ -498,13 +498,20 @@ class OpenSoraPipeline(VideoSysPipeline):
                 if mask is None:
                     # group consecutive same-plan steps into scanned runs;
                     # fall back to per-step dispatch when the run would
-                    # double-buffer a large written cache slot
+                    # double-buffer a large written cache slot, or for
+                    # batched prompts (B>1): the fused 30-step scan program
+                    # reproducibly kills the TPU runtime at B=2/480p
+                    # (isolated: single steps and the attention kernels at
+                    # the same shapes are fine; scan L>=8 faults), and at
+                    # multi-second step times per-step dispatch overhead is
+                    # <1% anyway
                     i = 0
                     while i < len(timesteps):
                         j = i
                         while j < len(plans) and plans[j] == plans[i]:
                             j += 1
-                        if j - i > 1 and _touched_bytes(plans[i]) < (3 << 30):
+                        if (j - i > 1 and B == 1
+                                and _touched_bytes(plans[i]) < (3 << 30)):
                             run_ts = jnp.asarray(timesteps[i:j], jnp.float32)
                             run_dts = jnp.asarray(dts[i:j], jnp.float32)
                             fn = self._get_scan_fn(
