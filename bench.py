@@ -170,6 +170,21 @@ def main():
         print(f"# pab-heavy leg skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # --- same-workload baseline leg: the reference's published headline is
+    #     106 s dense on 1xH800 for 80 frames / 512x512 (README.md:145-147);
+    #     measure OUR latency on that exact workload so vs_baseline_same_
+    #     workload is apples-to-apples, not a token-count estimate --------- #
+    dt_ref_wl = None
+    if on_tpu:
+        try:
+            ref_kw = dict(resolution="512", aspect_ratio="1:1",
+                          num_frames=80)
+            engine.generate("benchmark warmup", seed=0, **ref_kw)  # compile
+            dt_ref_wl, _, _ = _timed_runs(engine, ref_kw, "dense-512x80f")
+        except Exception as e:
+            print(f"# same-workload leg skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     metric = "opensora_2s_480p_dense_latency" if on_tpu else "opensora_cpu_smoke_latency"
     rec = {
         "metric": metric,
@@ -210,6 +225,13 @@ def main():
         # cross-hardware, cross-workload estimate: H800 published dense
         # seconds / our measured dense seconds (see module docstring)
         "vs_baseline": round(BASELINE_DENSE_S / dt, 3) if on_tpu else 0.0,
+        # the reference's EXACT headline workload (80 frames, 512x512,
+        # 30 steps) on this chip vs its 106 s on 1xH800 — same workload,
+        # different hardware
+        "same_workload_dense_latency_s": (round(dt_ref_wl, 3)
+                                          if dt_ref_wl else None),
+        "vs_baseline_same_workload": (round(BASELINE_DENSE_S / dt_ref_wl, 3)
+                                      if dt_ref_wl else None),
     }
     print(json.dumps(rec))
 
