@@ -120,7 +120,11 @@ def main():
         mc = pipe.model_config
         T = -(-t_lat // mc.patch_size[0])
         S = (-(-h_lat // mc.patch_size[1])) * (-(-w_lat // mc.patch_size[2]))
-        flops = _stdit3_flops_per_step(mc, 2, T, S, mc.model_max_length)
+        # cross-attention FLOPs at the EXECUTED text-KV length: text-KV
+        # bucketing slices the run to `last_text_kv_len` (pipelines/common.py),
+        # so counting model_max_length would inflate MFU by ~4-5%
+        L_exec = int(getattr(pipe, "last_text_kv_len", mc.model_max_length))
+        flops = _stdit3_flops_per_step(mc, 2, T, S, L_exec)
         total = flops * config.num_sampling_steps
         peak = _PEAK.get(jax.devices()[0].device_kind)
         if peak:

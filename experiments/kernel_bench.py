@@ -23,15 +23,26 @@ import jax.numpy as jnp
 
 
 def bench(fn, args, iters=5):
+    """Per-iteration timing with a D2H sync on each output (the axon tunnel's
+    block_until_ready is unreliable); a measured sync-only baseline is
+    subtracted so short kernels aren't skewed by the reduction+transfer."""
     out = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
-    # axon tunnel: block_until_ready is unreliable; force a D2H sync
-    float(sum(jnp.sum(jnp.abs(a).astype(jnp.float32)) for a in jax.tree.leaves(out)))
+    # warmup + sync (compile happens here)
+    def sync(o):
+        return float(sum(jnp.sum(jnp.abs(a).astype(jnp.float32))
+                         for a in jax.tree.leaves(o)))
+    sync(out)
+    # sync-only baseline: reduce+transfer an already-materialized output
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    float(sum(jnp.sum(jnp.abs(a).astype(jnp.float32)) for a in jax.tree.leaves(out)))
-    return (time.time() - t0) / iters
+        sync(out)
+    t_sync = (time.time() - t0) / iters
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        sync(fn(*args))
+        ts.append(time.time() - t0)
+    return max(min(ts) - t_sync, 1e-9)
 
 
 def temp_gib(fn, args):

@@ -36,7 +36,8 @@ def build_step(res, frames, kv):
     config = STDiT3Config(dtype=jnp.bfloat16)
     model = STDiT3(config)
     B = 2  # CFG pair
-    x = jax.random.normal(jax.random.key(0), (B, 4, lt, lh, lw))
+    x = jax.random.normal(jax.random.key(0),
+                          (B, config.in_channels, lt, lh, lw))
     t = jnp.full((B,), 500.0, jnp.float32)
     y = jax.random.normal(jax.random.key(1), (B, kv, config.caption_channels))
     kv_mask = jnp.ones((B, kv), bool)
@@ -53,8 +54,14 @@ def build_step(res, frames, kv):
     return step, (params, x, t, y, kv_mask, fps)
 
 
-def aggregate(logdir, top):
-    """Sum device-stream event durations by op name from the trace.json.gz."""
+def aggregate(logdir, top, n_steps=1):
+    """Sum device-stream event durations by op name from the trace.json.gz.
+
+    Restricts the sum to the per-op 'XLA Ops' thread lines: XLA TPU traces
+    put overlapping envelope lines ('XLA Modules', 'Steps', TraceMe) in the
+    SAME pid as the per-op line, so summing every 'X' event double/triple
+    counts. Totals are divided by ``n_steps`` (the number of step()
+    invocations inside the trace window) so the print is per-step."""
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -64,27 +71,44 @@ def aggregate(logdir, top):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device-stream pids: names like "/device:TPU:0" / "TPU:0 ..." threads
+    # device pids: anchor on the canonical '/device:TPU:' process-name
+    # prefix; host-side process names can also contain 'XLA'
     pid_names = {e["pid"]: e["args"].get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name" and "args" in e}
-    dev_pids = {p for p, n in pid_names.items()
-                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    dev_pids = {p for p, n in pid_names.items() if "/device:TPU:" in n}
+    if not dev_pids:  # fall back, but say so (layouts vary across versions)
+        dev_pids = {p for p, n in pid_names.items()
+                    if "TPU" in n or "/device" in n.lower()}
+        print(f"# warn: no '/device:TPU:' pid; fallback matched "
+              f"{sorted(pid_names[p] for p in dev_pids)}")
+    if len(dev_pids) > 4:
+        print(f"# warn: {len(dev_pids)} device pids matched — check layout")
+    # per-op thread lines: 'XLA Ops' tids only (envelope lines like
+    # 'XLA Modules'/'Steps' share the pid and would double-count)
+    op_tids = {(e["pid"], e["tid"])
+               for e in events if e.get("ph") == "M"
+               and e.get("name") == "thread_name" and "args" in e
+               and e["pid"] in dev_pids
+               and "XLA Ops" in e["args"].get("name", "")}
     totals = defaultdict(float)
     counts = defaultdict(int)
     wall = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
+        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
+            continue
         name = e.get("name", "")
         if name.startswith("while"):  # scan wrapper envelope, double counts
             continue
-        dur = e.get("dur", 0) / 1e3  # us -> ms
+        dur = e.get("dur", 0) / 1e3 / n_steps  # us -> ms, per step
         totals[name] += dur
         counts[name] += 1
         wall += dur
     rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-    print(f"{'ms':>9}  {'n':>5}  op  (device total {wall:.1f} ms)")
+    print(f"{'ms':>9}  {'n':>5}  op  (device total {wall:.1f} ms/step, "
+          f"{n_steps} step(s) traced)")
     for name, ms in rows:
         print(f"{ms:9.2f}  {counts[name]:5d}  {name[:110]}")
 
@@ -103,12 +127,13 @@ def main():
     float(jnp.sum(out))
     import shutil
     shutil.rmtree(args.logdir, ignore_errors=True)
+    n_steps = 2
     jax.profiler.start_trace(args.logdir)
-    for _ in range(2):
+    for _ in range(n_steps):
         out = step(*args_)
     float(jnp.sum(out))
     jax.profiler.stop_trace()
-    aggregate(args.logdir, args.top)
+    aggregate(args.logdir, args.top, n_steps=n_steps)
 
 
 if __name__ == "__main__":
