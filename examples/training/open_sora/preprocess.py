@@ -20,14 +20,30 @@ def main(argv=None):
     import jax.numpy as jnp
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--csv", required=True, help="path,text,num_frames,height,width")
-    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--csv", default=None, help="path,text,num_frames,height,width")
+    ap.add_argument("--outdir", default=None)
     ap.add_argument("--bucket-frames", type=int, default=51)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=426)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="YAML file; CLI flags override its values")
     args = ap.parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            cfg_yaml = yaml.safe_load(f) or {}
+        defaults = {a.dest: a.default for a in ap._actions}
+        for k, v in cfg_yaml.items():
+            k = k.replace("-", "_")
+            if not hasattr(args, k):
+                raise SystemExit(f"unknown config key: {k}")
+            if getattr(args, k) == defaults.get(k):
+                setattr(args, k, v)
+    if not args.csv or not args.outdir:
+        ap.error("--csv and --outdir are required (flag or config file)")
 
     from videosys_tpu.models.text_encoders.t5 import StubTextEncoder
     from videosys_tpu.training.datasets import VariableVideoTextDataset

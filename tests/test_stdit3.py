@@ -203,3 +203,85 @@ def test_pab_mlp_skip_exact():
     out_use, _ = m_use.apply(params, x, t, y, pab_cache=cache1, **kw)
     np.testing.assert_allclose(np.asarray(out_use), np.asarray(out_dense),
                                atol=1e-5)
+
+
+def test_pab_mlp_range_roundtrip():
+    """Range-mode full-depth MLP broadcast (PABConfig.mlp_range extension):
+    a save step must equal dense, and a read step with identical inputs must
+    reproduce the dense output exactly (fp32 cache)."""
+    pab = PABConfig(mlp_broadcast=True, mlp_threshold=(100, 900), mlp_range=2)
+    assert pab.mlp_range_mode
+    x, t, y, kv_mask, fps = _inputs()
+    kw = dict(kv_mask=kv_mask, fps=fps, height=256.0, width=256.0)
+
+    dense = STDiT3(TINY)
+    params = dense.init(jax.random.key(0), x, t, y, **kw)
+    out_dense = dense.apply(params, x, t, y, **kw)
+
+    m_save = STDiT3(TINY, plan=PABStepPlan(save_mlp=True), pab_config=pab)
+    cache = m_save.init_cache(B=2, T=3, S=16)
+    # full-depth slot in both branches (not the slim dict rows)
+    assert cache["spatial"]["mlp"].shape[0] == TINY.depth
+    assert cache["temporal"]["mlp"].shape[0] == TINY.depth
+    out_save, cache1 = m_save.apply(params, x, t, y, pab_cache=cache, **kw)
+    np.testing.assert_allclose(np.asarray(out_save), np.asarray(out_dense),
+                               atol=1e-5)
+    assert np.abs(np.asarray(cache1["spatial"]["mlp"])).sum() > 0
+
+    m_read = STDiT3(TINY, plan=PABStepPlan(mlp=True), pab_config=pab)
+    out_read, _ = m_read.apply(params, x, t, y, pab_cache=cache1, **kw)
+    np.testing.assert_allclose(np.asarray(out_read), np.asarray(out_dense),
+                               atol=1e-5)
+
+
+def test_pab_pair_delta_roundtrip():
+    """Pair-delta residual broadcast (PABConfig.pair_broadcast extension):
+    a save step equals dense; a read step with identical inputs reproduces
+    the dense output exactly (each pair's residual re-applies)."""
+    pab = PABConfig(pair_broadcast=True, pair_threshold=(100, 900),
+                    pair_range=2)
+    x, t, y, kv_mask, fps = _inputs()
+    kw = dict(kv_mask=kv_mask, fps=fps, height=256.0, width=256.0)
+
+    dense = STDiT3(TINY)
+    params = dense.init(jax.random.key(0), x, t, y, **kw)
+    out_dense = dense.apply(params, x, t, y, **kw)
+
+    m_save = STDiT3(TINY, plan=PABStepPlan(save_pair=True), pab_config=pab)
+    cache = m_save.init_cache(B=2, T=3, S=16)
+    assert set(cache) == {"pair"}
+    assert cache["pair"]["delta"].shape[0] == TINY.depth
+    out_save, cache1 = m_save.apply(params, x, t, y, pab_cache=cache, **kw)
+    np.testing.assert_allclose(np.asarray(out_save), np.asarray(out_dense),
+                               atol=1e-5)
+    assert np.abs(np.asarray(cache1["pair"]["delta"])).sum() > 0
+
+    m_read = STDiT3(TINY, plan=PABStepPlan(pair=True), pab_config=pab)
+    out_read, _ = m_read.apply(params, x, t, y, pab_cache=cache1, **kw)
+    np.testing.assert_allclose(np.asarray(out_read), np.asarray(out_dense),
+                               atol=1e-5)
+
+
+def test_build_plans_range_mlp_and_pair():
+    from videosys_tpu.core.pab import build_plans
+
+    ts = np.linspace(1000, 33, 30)
+    # range-mode MLP: flags follow the counter ladder; dict flags empty
+    pab = PABConfig(mlp_broadcast=True, mlp_threshold=(200, 800), mlp_range=3)
+    plans = build_plans(pab, ts, depth=2)
+    want = [(i % 3 != 0) and (200 < ts[i] < 800) for i in range(30)]
+    assert [p.mlp for p in plans] == want
+    assert all(not p.any_mlp for p in plans)
+    # save = compute step right before a read step
+    for i in range(29):
+        assert plans[i].save_mlp == ((not want[i]) and want[i + 1])
+
+    # pair mode subsumes everything else
+    pab2 = PABConfig(pair_broadcast=True, pair_threshold=(200, 800),
+                     pair_range=2, spatial_broadcast=True,
+                     spatial_threshold=(200, 800), spatial_range=2)
+    plans2 = build_plans(pab2, ts, depth=2)
+    want2 = [(i % 2 != 0) and (200 < ts[i] < 800) for i in range(30)]
+    assert [p.pair for p in plans2] == want2
+    assert all(not (p.spatial or p.temporal or p.cross or p.mlp)
+               for p in plans2)

@@ -45,6 +45,27 @@ class PABConfig:
     # {timestep:int -> {"block": [idx...], "skip_count": int}}
     mlp_spatial_broadcast_config: Optional[dict] = None
     mlp_temporal_broadcast_config: Optional[dict] = None
+    # --- TPU-first extensions beyond the reference ladder ----------------- #
+    # Range-based FULL-DEPTH MLP broadcast: when ``mlp_range > 1`` (and
+    # mlp_broadcast), every block's MLP output is cached/broadcast under its
+    # own (threshold, range) ladder exactly like the attention branches.
+    # The reference's dict config (pab_mgr.py:93-174) covers only 5/28 blocks
+    # at 3 timesteps, which leaves the MLP — ~52% of STDiT3 step FLOPs at
+    # 2s/480p — uncached on read steps and caps the denoise speedup near
+    # 1.4x. Takes precedence over the dict configs (they are ignored).
+    # Quality evidence: docs/pab_quality.json (trained-weights protocol).
+    mlp_threshold: tuple[int, int] = (450, 930)
+    mlp_range: int = 1
+    # Pair-delta residual cache: cache the residual of a whole (spatial,
+    # temporal) depth-pair — x_out - x_in — in ONE [depth, B, T, S, C] slot
+    # and skip the ENTIRE pair on read steps. ~6x less cache HBM than the
+    # per-component slots (which is what lets PAB fit 720p/4s workloads on a
+    # 16 GiB chip) and a read step is pure cache traffic + embeddings.
+    # Subsumes the component ladders at equal range: when enabled, the
+    # component/MLP flags are ignored by build_plans.
+    pair_broadcast: bool = False
+    pair_threshold: tuple[int, int] = (450, 930)
+    pair_range: int = 1
     # cache storage dtype (None = model dtype). "float8_e4m3" halves the
     # cache HBM footprint — the 28-layer 2s/480p cache is multi-GiB and PAB
     # is already an approximation; see docs/pab.md.
@@ -53,7 +74,13 @@ class PABConfig:
     @property
     def enabled(self) -> bool:
         return (self.spatial_broadcast or self.temporal_broadcast
-                or self.cross_broadcast or self.mlp_broadcast)
+                or self.cross_broadcast or self.mlp_broadcast
+                or self.pair_broadcast)
+
+    @property
+    def mlp_range_mode(self) -> bool:
+        """Full-depth range-based MLP broadcast active (extension)."""
+        return bool(self.mlp_broadcast and self.mlp_range > 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +102,14 @@ class PABStepPlan:
     save_spatial: bool = False
     save_temporal: bool = False
     save_cross: bool = False
+    # range-mode MLP broadcast (extension; all depths at once)
+    mlp: bool = False
+    save_mlp: bool = False
+    # pair-delta residual broadcast (extension; skips whole depth pairs)
+    pair: bool = False
+    save_pair: bool = False
     # per-depth tuples (static): save into / read from the MLP cache slot
+    # (the reference's dict-driven mechanism, pab_mgr.py:93-174)
     mlp_spatial_save: tuple[bool, ...] = ()
     mlp_spatial_use: tuple[bool, ...] = ()
     mlp_temporal_save: tuple[bool, ...] = ()
@@ -91,14 +125,20 @@ class PABStepPlan:
             any(self.mlp_temporal_save) or any(self.mlp_temporal_use)
 
     def slot_mode(self, branch: str, slot: str) -> str:
-        """Static cache-slot mode for this step: absent | read | write."""
+        """Static cache-slot mode for this step: absent | read | write
+        (| readwrite for the dict-driven slim MLP rows)."""
         if slot == "attn":
             read = self.spatial if branch == "spatial" else self.temporal
             write = self.save_spatial if branch == "spatial" else self.save_temporal
         elif slot == "cross":
             read, write = self.cross, self.save_cross
-        else:  # mlp: active (read+write rows) iff any flag set this step
-            return "readwrite" if self.any_mlp else "absent"
+        elif slot == "delta":  # pair-delta residual slot
+            read, write = self.pair, self.save_pair
+        else:  # mlp
+            if self.mlp or self.save_mlp:  # range mode: full-depth slot
+                read, write = self.mlp, self.save_mlp
+            else:  # dict mode: active (read+write rows) iff any flag set
+                return "readwrite" if self.any_mlp else "absent"
         return "read" if read else ("write" if write else "absent")
 
 
@@ -164,27 +204,43 @@ def build_plans(
     if config is None or not config.enabled:
         return [PABStepPlan()] * n
     ts_int = quantize_timesteps(timesteps, model_dtype)
+
+    def nxt(flags, i):
+        # write needed iff this step computes and the next step broadcasts
+        return (not flags[i]) and (i + 1 < n) and flags[i + 1]
+
+    if config.pair_broadcast:
+        # pair-delta mode subsumes the component ladders (PABConfig note):
+        # a pair-read step skips the whole block pair, so component save
+        # flags could silently go stale — keep the semantics sound by using
+        # ONLY the pair ladder.
+        pr = _broadcast_flags(True, tuple(config.pair_threshold),
+                              config.pair_range, ts_int)
+        return [PABStepPlan(pair=pr[i], save_pair=nxt(pr, i))
+                for i in range(n)]
+
     sp = _broadcast_flags(config.spatial_broadcast, tuple(config.spatial_threshold),
                           config.spatial_range, ts_int)
     tp = _broadcast_flags(config.temporal_broadcast, tuple(config.temporal_threshold),
                           config.temporal_range, ts_int)
     cr = _broadcast_flags(config.cross_broadcast, tuple(config.cross_threshold),
                           config.cross_range, ts_int)
-    if config.mlp_broadcast:
+    empty = [()] * n
+    ms_save = ms_use = mt_save = mt_use = empty
+    ml = [False] * n
+    if config.mlp_range_mode:
+        ml = _broadcast_flags(True, tuple(config.mlp_threshold),
+                              config.mlp_range, ts_int)
+    elif config.mlp_broadcast:
         ms_save, ms_use = _mlp_flags(config.mlp_spatial_broadcast_config, ts_int, depth)
         mt_save, mt_use = _mlp_flags(config.mlp_temporal_broadcast_config, ts_int, depth)
-    else:
-        empty = [()] * n
-        ms_save = ms_use = mt_save = mt_use = empty
-    def nxt(flags, i):
-        # write needed iff this step computes and the next step broadcasts
-        return (not flags[i]) and (i + 1 < n) and flags[i + 1]
 
     return [
         PABStepPlan(
             spatial=sp[i], temporal=tp[i], cross=cr[i],
             save_spatial=nxt(sp, i), save_temporal=nxt(tp, i),
             save_cross=nxt(cr, i),
+            mlp=ml[i], save_mlp=nxt(ml, i),
             mlp_spatial_save=ms_save[i], mlp_spatial_use=ms_use[i],
             mlp_temporal_save=mt_save[i], mlp_temporal_use=mt_use[i],
         )

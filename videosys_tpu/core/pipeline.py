@@ -25,6 +25,31 @@ class VideoSysPipeline:
     def generate(self, *args, **kwargs) -> VideoSysPipelineOutput:
         raise NotImplementedError
 
+    # --- low-memory mode (reference cpu_offload) ----------------------- #
+    def _offload_params_to_host(self):
+        """Commit ``self.params`` to host memory; phases stream modules onto
+        the device via `_exec_put` (reference low-mem mode:
+        pipeline_open_sora.py:239-242, pipeline_cogvideox.py:547-549)."""
+        import jax
+
+        cpu = jax.devices("cpu")[0]
+        self.params = jax.tree.map(
+            lambda x: jax.device_put(x, cpu) if hasattr(x, "dtype") else x,
+            self.params)
+
+    def _exec_put(self, tree):
+        """Fetch a host-resident param subtree onto the execution device(s)
+        for one phase (no-op unless the config enables cpu_offload)."""
+        if not getattr(self._config, "cpu_offload", False):
+            return tree
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = getattr(self, "mesh", None)
+        target = (NamedSharding(mesh, P()) if mesh is not None
+                  else jax.devices()[0])
+        return jax.device_put(tree, target)
+
     def __call__(self, *args, **kwargs) -> VideoSysPipelineOutput:
         return self.generate(*args, **kwargs)
 

@@ -21,7 +21,8 @@ import numpy as np
 class T5TextEncoder:
     """HF Flax T5 encoder + tokenizer. Requires local weights."""
 
-    def __init__(self, path: str, max_length: int = 300, dtype=jnp.float32):
+    def __init__(self, path: str, max_length: int = 300, dtype=jnp.float32,
+                 offload: bool = False):
         import os
 
         from transformers import AutoTokenizer, FlaxT5EncoderModel
@@ -36,12 +37,21 @@ class T5TextEncoder:
                                                         **kwargs)
         self.max_length = max_length
         self.output_dim = self.model.config.d_model
-        # traced encode: shapes are fixed (max_length padding), so this
-        # compiles once and removes the per-generate eager dispatch
-        module, params = self.model.module, self.model.params
+        # low-mem mode (reference cpu_offload, pipeline_open_sora.py:239-242):
+        # a T5-XXL encoder is ~9 GiB bf16 — keep its params committed to host
+        # memory and device_put them only for the encode call, freeing the
+        # HBM for the transformer/VAE phases. Otherwise pin to the default
+        # device ONCE so repeat encodes never re-transfer.
+        self.offload = offload
+        target = jax.devices("cpu")[0] if offload else jax.devices()[0]
+        self._params = jax.device_put(self.model.params, target)
+        module = self.model.module
 
+        # traced encode: shapes are fixed (max_length padding), so this
+        # compiles once and removes the per-generate eager dispatch; params
+        # are an argument (not a captured constant) so offload can swap them
         @jax.jit
-        def _encode(input_ids, attention_mask):
+        def _encode(params, input_ids, attention_mask):
             return module.apply(
                 {"params": params}, input_ids=input_ids,
                 attention_mask=attention_mask).last_hidden_state
@@ -58,8 +68,14 @@ class T5TextEncoder:
             add_special_tokens=True,
             return_tensors="np",
         )
-        hidden = self._encode(jnp.asarray(tok["input_ids"]),
+        params = (jax.device_put(self._params, jax.devices()[0])
+                  if self.offload else self._params)
+        hidden = self._encode(params, jnp.asarray(tok["input_ids"]),
                               jnp.asarray(tok["attention_mask"]))
+        if self.offload:
+            # materialize before dropping the device params reference
+            jax.block_until_ready(hidden)
+        del params
         mask = jnp.asarray(tok["attention_mask"]).astype(bool)
         return hidden, mask
 

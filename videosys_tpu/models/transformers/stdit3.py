@@ -96,7 +96,11 @@ class STDiT3Block(nn.Module):
     # static PAB modes for this jit specialization
     attn_mode: str = "absent"    # absent | read | write
     cross_mode: str = "absent"
-    mlp_cached: bool = False     # an MLP cache row is threaded this step
+    # full-depth range-mode MLP slot (PABConfig.mlp_range extension):
+    # read steps skip fc1/fc2 entirely (statically DCE'd), write steps emit
+    # the gated MLP output into the cache like the attention slots
+    mlp_mode: str = "absent"     # absent | read | write
+    mlp_cached: bool = False     # a dict-mode MLP cache row is threaded
     cache_dtype: Any = None      # storage dtype for written slots
 
     @nn.compact
@@ -216,6 +220,12 @@ class STDiT3Block(nn.Module):
         x = x + x_cross
 
         # ---- MLP -------------------------------------------------------- #
+        if self.mlp_mode == "read":
+            # range-mode broadcast: reuse the cached gated MLP output; the
+            # whole MLP (incl. layer_norm/modulate producers) is dead code
+            x = x + cache["mlp"].astype(x.dtype)
+            return x, written
+
         normed2 = layer_norm(x)
 
         def _mlp_compute(mdl, normed2):
@@ -251,6 +261,8 @@ class STDiT3Block(nn.Module):
             written["mlp"] = x_m_s.astype(cdt)
         else:
             x_m_s = _mlp_compute(self, normed2)
+            if self.mlp_mode == "write":  # range-mode save
+                written["mlp"] = x_m_s.astype(cdt)
 
         x = x + x_m_s
         return x, written
@@ -286,6 +298,14 @@ class STDiT3DepthPair(nn.Module):
         new_write_carries = {b: dict(slots)
                              for b, slots in write_carries.items()}
 
+        if plan.pair:
+            # pair-delta broadcast (PABConfig.pair_broadcast extension): the
+            # ENTIRE depth pair is statically replaced by its cached residual
+            # — no block params are touched, the read is the whole cost
+            x = x + read_caches["pair"]["delta"].astype(x.dtype)
+            return (x, new_mlp_carries, new_write_carries), ()
+        x_pair_in = x  # pair-delta save point
+
         def run_branch(branch, temporal, x):
             cached = branch in mlp_carries
             if cached:
@@ -303,9 +323,14 @@ class STDiT3DepthPair(nn.Module):
 
             attn_mode = plan.slot_mode(branch, "attn")
             cross_mode = plan.slot_mode(branch, "cross")
+            mode = plan.slot_mode(branch, "mlp")
+            # "readwrite" = dict-mode slim rows (mlp_carries machinery);
+            # "read"/"write" = range-mode full-depth slot
+            mlp_mode = mode if mode in ("read", "write") else "absent"
             x, w = STDiT3Block(
                 config=self.config, temporal=temporal,
                 attn_mode=attn_mode, cross_mode=cross_mode,
+                mlp_mode=mlp_mode,
                 mlp_cached=cached, cache_dtype=self.cache_dtype,
                 name=branch,
             )(x, y, t_mlp, t0_mlp, x_mask, kv_mask,
@@ -328,6 +353,12 @@ class STDiT3DepthPair(nn.Module):
 
         x = run_branch("spatial", False, x)
         x = run_branch("temporal", True, x)
+        if plan.save_pair:
+            cdt = self.cache_dtype or self.config.dtype
+            new_write_carries["pair"]["delta"] = \
+                jax.lax.dynamic_update_index_in_dim(
+                    write_carries["pair"]["delta"],
+                    (x - x_pair_in).astype(cdt), depth_idx, 0)
         return (x, new_mlp_carries, new_write_carries), ()
 
 
@@ -350,6 +381,8 @@ class STDiT3(nn.Module):
         pc = self.pab_config
         if pc is None or not pc.enabled:
             return ()
+        if pc.pair_broadcast:  # pair-delta subsumes the component slots
+            return ()
         keys = []
         if temporal and pc.temporal_broadcast:
             keys.append("attn")
@@ -357,7 +390,7 @@ class STDiT3(nn.Module):
             keys.append("attn")
         if pc.cross_broadcast:
             keys.append("cross")
-        if pc.mlp_broadcast and mlp_config_blocks(pc):
+        if pc.mlp_broadcast and (pc.mlp_range_mode or mlp_config_blocks(pc)):
             keys.append("mlp")
         return tuple(keys)
 
@@ -381,8 +414,18 @@ class STDiT3(nn.Module):
             S = -(-S // m) * m
             T = T if T == 1 else -(-T // m) * m
         shape = (cfg.depth, B, T, S, cfg.hidden_size)
-        n_mlp = len(mlp_config_blocks(self.pab_config))
-        mlp_shape = (n_mlp, B, T, S, cfg.hidden_size)
+        pc = self.pab_config
+        if pc is not None and pc.pair_broadcast:
+            # one full-depth residual slot for the whole model — ~6x less
+            # HBM than the per-component slots (PABConfig.pair_broadcast)
+            return {"pair": {"delta": jnp.zeros(shape, cdt)}}
+        # range-mode MLP caches at full depth; dict mode only the slim
+        # configured rows (the reference deletes entries at range end)
+        if pc is not None and pc.mlp_range_mode:
+            mlp_shape = shape
+        else:
+            n_mlp = len(mlp_config_blocks(pc))
+            mlp_shape = (n_mlp, B, T, S, cfg.hidden_size)
         caches: Dict[str, PABCache] = {}
         for branch, temporal in (("spatial", False), ("temporal", True)):
             keys = self.cache_keys(temporal)
@@ -503,12 +546,15 @@ class STDiT3(nn.Module):
         plan = self.plan if pab_cache is not None else PABStepPlan()
         read_in: Dict[str, PABCache] = {}
         write_carries: Dict[str, PABCache] = {}
+        # "mlp" here is the full-depth range-mode slot ("read"/"write");
+        # dict-mode slim rows report "readwrite" and ride mlp_carries below
+        slot_names = ("attn", "cross", "mlp", "delta")
         for branch in caches:
             read_in[branch] = {
-                sl: caches[branch][sl] for sl in ("attn", "cross")
+                sl: caches[branch][sl] for sl in slot_names
                 if sl in caches[branch]
                 and plan.slot_mode(branch, sl) == "read"}
-            wr = {sl: caches[branch][sl] for sl in ("attn", "cross")
+            wr = {sl: caches[branch][sl] for sl in slot_names
                   if sl in caches[branch]
                   and plan.slot_mode(branch, sl) == "write"}
             if wr:

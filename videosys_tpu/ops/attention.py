@@ -73,6 +73,15 @@ def scaled_dot_product_attention(
 ) -> jax.Array:
     """Dispatching attention. q: [B, H, Nq, D]; k, v: [B, H, Nk, D];
     kv_mask: optional [B, Nk] bool (True = attend)."""
+    if force_flash is None:
+        # experiment override (read at trace time): lets full-model A/Bs
+        # compare the Pallas path vs XLA reference attention without
+        # threading a flag through every module (experiments/train_perf.py)
+        import os
+
+        env = os.environ.get("VIDEOSYS_FORCE_FLASH")
+        if env is not None:
+            force_flash = env not in ("0", "false", "")
     if force_flash is not None:
         use_flash = force_flash
     else:

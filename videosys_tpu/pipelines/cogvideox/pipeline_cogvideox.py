@@ -49,8 +49,8 @@ class CogVideoXConfig:
 
     model_path: str = "THUDM/CogVideoX-2b"
     num_gpus: int = 1
-    # API parity with the reference's low-memory mode; host offload
-    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    # low-memory mode (shared VideoSysPipeline._exec_put): params stay
+    # committed to host; each phase streams its module onto the device
     cpu_offload: bool = False
     vae_tiling: bool = True
     enable_pab: bool = False
@@ -98,7 +98,8 @@ class CogVideoXPipeline(VideoSysPipeline):
             try:
                 self.text_encoder = T5TextEncoder(
                     config.model_path, max_length=self.model_config.max_text_seq_length,
-                    dtype=self.dtype) if config.model_path else None
+                    dtype=self.dtype,
+                    offload=config.cpu_offload) if config.model_path else None
             except Exception as e:
                 raise RuntimeError(
                     f"text encoder for {config.model_path!r} could not be "
@@ -118,7 +119,17 @@ class CogVideoXPipeline(VideoSysPipeline):
                 beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
                 set_alpha_to_one=True))
 
-        self.params = params if params is not None else self._init_params(seed)
+        if params is not None:
+            self.params = params
+        elif config.cpu_offload:
+            # low-mem: build params under a host default device (no init-time
+            # HBM peak); phases stream modules in via _exec_put
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.params = self._init_params(seed)
+        else:
+            self.params = self._init_params(seed)
+        if config.cpu_offload:
+            self._offload_params_to_host()
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
@@ -208,9 +219,10 @@ class CogVideoXPipeline(VideoSysPipeline):
         old_x0 = None
         mesh_ctx = par.use_mesh(self.mesh) if self.mesh is not None else _null()
         with mesh_ctx:
+            tparams = self._exec_put(self.params["transformer"])
             for i, t_i in enumerate(timesteps):
                 model_fn = self._get_model_fn(plans[i])
-                pred, cache = model_fn(self.params["transformer"], z,
+                pred, cache = model_fn(tparams, z,
                                        float(t_i), enc_all, cache)
                 g = guidance_scale
                 if use_dynamic_cfg:
@@ -228,8 +240,9 @@ class CogVideoXPipeline(VideoSysPipeline):
                     z = self.scheduler.step(eps, int(t_i), z)
 
             # decode: [B, F, C, h, w] -> [B, C, F, h, w], /scaling (:decode_latents)
+            tparams = None  # cpu_offload: free transformer HBM
             lat = jnp.swapaxes(z, 1, 2) / self.vae.config.scaling_factor
-            video = self.vae.decode(self.params["vae"], lat)
+            video = self.vae.decode(self._exec_put(self.params["vae"]), lat)
 
         # uint8 on device: transfer 1/4 the bytes over the host link
         video = video.astype(jnp.float32)

@@ -52,8 +52,8 @@ class LatteConfig:
 
     model_path: str = "maxin-cn/Latte-1"
     num_gpus: int = 1
-    # API parity with the reference's low-memory mode; host offload
-    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    # low-memory mode (shared VideoSysPipeline._exec_put): params stay
+    # committed to host; each phase streams its module onto the device
     cpu_offload: bool = False
     enable_cp: bool = False
     # scheduler
@@ -97,7 +97,9 @@ class LattePipeline(VideoSysPipeline):
             self.text_encoder = text_encoder
         else:
             try:
-                self.text_encoder = T5TextEncoder(config.model_path, dtype=self.dtype) \
+                self.text_encoder = T5TextEncoder(
+                    config.model_path, dtype=self.dtype,
+                    offload=config.cpu_offload) \
                     if config.model_path else None
             except Exception as e:
                 raise RuntimeError(
@@ -113,7 +115,17 @@ class LattePipeline(VideoSysPipeline):
             beta_start=config.beta_start, beta_end=config.beta_end,
             beta_schedule=config.beta_schedule, clip_sample=False))
 
-        self.params = params if params is not None else self._init_params(seed)
+        if params is not None:
+            self.params = params
+        elif config.cpu_offload:
+            # low-mem: build params under a host default device (no init-time
+            # HBM peak); phases stream modules in via _exec_put
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.params = self._init_params(seed)
+        else:
+            self.params = self._init_params(seed)
+        if config.cpu_offload:
+            self._offload_params_to_host()
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
@@ -217,18 +229,20 @@ class LattePipeline(VideoSysPipeline):
 
         mesh_ctx = par.use_mesh(self.mesh) if self.mesh is not None else jax.default_device(jax.devices()[0])
         with mesh_ctx:
+            tparams = self._exec_put(self.params["transformer"])
             for i, t_i in enumerate(timesteps):
                 a_t, a_prev = self.scheduler.alphas_for_step(int(t_i))
                 fn = self._get_step_fn(plans[i], float(guidance_scale), a_t, a_prev)
-                z, cache = fn(self.params["transformer"], z, float(t_i),
+                z, cache = fn(tparams, z, float(t_i),
                               y_all, kv_mask_all, cache)
+            tparams = None  # cpu_offload: free transformer HBM before decode
             # per-frame VAE decode (:917-925), jitted per frame shape
             frames = jnp.transpose(z, (0, 2, 3, 4, 1)).reshape(
                 (B * video_length, h_lat, w_lat, -1))
             from videosys_tpu.utils.jit import jit_method
 
             video = jit_method(self, "_decode_frames")(
-                self.params["vae"], frames)
+                self._exec_put(self.params["vae"]), frames)
 
         # uint8 on device: transfer 1/4 the bytes over the host link
         video = jnp.reshape(video, (B, video_length) + video.shape[1:])

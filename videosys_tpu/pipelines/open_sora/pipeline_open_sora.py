@@ -76,8 +76,13 @@ class OpenSoraConfig:
     text_encoder: Optional[str] = "DeepFloyd/t5-v1_1-xxl"
     # ======== distributed ========
     num_gpus: int = 1
-    # API parity with the reference's low-memory mode; host offload
-    # is a no-op under jit (XLA manages HBM; use VAE tiling instead)
+    # Low-memory mode (reference pipeline_open_sora.py:239-242 +
+    # tests/pipelines/open_sora/test_open_sora.py:30-37 test_low_mem):
+    # params stay committed to HOST memory; each phase device_puts only the
+    # module it runs (text encoder -> free -> transformer -> free -> VAE), so
+    # peak HBM is one module + activations instead of all three. Costs one
+    # H2D transfer of each module's params per generate. Compose with
+    # tiling_size=1 for minimal VAE memory.
     cpu_offload: bool = False
     enable_cp: bool = False
     # ======== scheduler ========
@@ -149,14 +154,25 @@ class OpenSoraPipeline(VideoSysPipeline):
             use_timestep_transform=True,
         ))
 
-        self.params = params if params is not None else self._init_params(seed)
+        if params is not None:
+            self.params = params
+        elif config.cpu_offload:
+            # build params under a host default device so init never peaks
+            # device HBM with modules the phases will stream in one by one
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.params = self._init_params(seed)
+        else:
+            self.params = self._init_params(seed)
+        if config.cpu_offload:
+            self._offload_params_to_host()
         self._step_fns: dict = {}
 
     # ------------------------------------------------------------------ #
     def _load_text_encoder(self, config):
         if config.text_encoder:
             try:
-                return T5TextEncoder(config.text_encoder, dtype=self.dtype)
+                return T5TextEncoder(config.text_encoder, dtype=self.dtype,
+                                     offload=config.cpu_offload)
             except Exception as e:
                 # the reference fails in from_pretrained; don't silently
                 # substitute a stub for a configured encoder
@@ -215,6 +231,9 @@ class OpenSoraPipeline(VideoSysPipeline):
     def null_embed(self, n: int) -> jax.Array:
         """Uncond caption features for CFG (pipeline_open_sora.py:294-296)."""
         y_emb = self.params["transformer"]["params"]["y_embedder"]["y_embedding"]
+        # under cpu_offload the stored param is committed to host; fetch the
+        # (small) null embedding so it can concatenate with device tensors
+        y_emb = self._exec_put(y_emb)
         return jnp.broadcast_to(y_emb[None], (n,) + y_emb.shape)
 
     def _step_core(self, plan, height: float, width: float,
@@ -422,12 +441,17 @@ class OpenSoraPipeline(VideoSysPipeline):
         mc = self.model_config
         fps_arr = jnp.full((B,), float(fps), jnp.float32)
 
+        # low-mem phase streaming: the transformer params ride the device for
+        # the denoise loops and are freed before the VAE phase (no-ops when
+        # cpu_offload is off — _exec_put returns the resident tree)
+        tparams = self._exec_put(self.params["transformer"])
+
         refs = [None] * B
         strategies = [mask_strategy] * B
         if reference is not None:
             rngs[0], rkey = jax.random.split(rngs[0])
             ref_lat = ms_mod.load_reference(reference, self.vae,
-                                            self.params["vae"],
+                                            self._exec_put(self.params["vae"]),
                                             (height, width), rkey)
             refs = [[ref_lat]] * B
             if mask_strategy is None:
@@ -441,7 +465,8 @@ class OpenSoraPipeline(VideoSysPipeline):
                 if loop_i > 0:
                     rngs[0], akey = jax.random.split(rngs[0])
                     refs, strategies = ms_mod.append_generated(
-                        self.vae, self.params["vae"], clips[-1], refs,
+                        self.vae, self._exec_put(self.params["vae"]),
+                        clips[-1], refs,
                         strategies, loop_i, condition_frame_length,
                         condition_frame_edit, akey)
                     # per-loop prompt segments (|0|-syntax): re-encode when
@@ -517,7 +542,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                             fn = self._get_scan_fn(
                                 plans[i], float(height), float(width),
                                 float(guidance_scale), j - i)
-                            z, cache = fn(self.params["transformer"], z,
+                            z, cache = fn(tparams, z,
                                           run_ts, run_dts, y_all, kv_mask_all,
                                           fps_arr, cache)
                         else:
@@ -526,7 +551,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                                 float(guidance_scale))
                             for k in range(i, j):
                                 z, cache = step_fn(
-                                    self.params["transformer"], z,
+                                    tparams, z,
                                     timesteps[k], dts[k], y_all, kv_mask_all,
                                     fps_arr, cache)
                         i = j
@@ -539,7 +564,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                             float(guidance_scale))
                         rngs[0], nkey = jax.random.split(rngs[0])
                         z, cache, noise_added = step_fn(
-                            self.params["transformer"], z, t_i, dt_i, y_all,
+                            tparams, z, t_i, dt_i, y_all,
                             kv_mask_all, fps_arr, cache, mask_arr,
                             noise_added, nkey)
                 float(jnp.sum(z[..., :1]))  # force z; denoise phase boundary
@@ -550,13 +575,16 @@ class OpenSoraPipeline(VideoSysPipeline):
                     # hot path never pays the device->host transfer
                     self.last_latents = np.asarray(z)
                 cache = None  # free PAB cache HBM before the VAE runs
+                if loop_i == loop - 1:
+                    tparams = None  # cpu_offload: free transformer HBM
+                vparams = self._exec_put(self.params["vae"])
                 _t0 = _time.perf_counter()
                 if loop == 1:
                     # streaming decode: per-chunk programs emit uint8 in the
                     # final layout; the D2H copy of chunk i overlaps the
                     # decode of chunk i+1 (slow-link postprocess killer)
                     u8_chunks = self.vae.decode_chunks_u8(
-                        self.params["vae"], z, num_frames)
+                        vparams, z, num_frames)
                     for c in u8_chunks:
                         try:
                             c.copy_to_host_async()
@@ -569,7 +597,7 @@ class OpenSoraPipeline(VideoSysPipeline):
                     _t_vae += _time.perf_counter() - _t0
                     clips.append(u8_chunks)
                 else:
-                    clip = self.vae.decode(self.params["vae"], z,
+                    clip = self.vae.decode(vparams, z,
                                            num_frames=num_frames)
                     np.asarray(clip[..., :1, :1])  # sync for the phase timer
                     _t_vae += _time.perf_counter() - _t0

@@ -154,7 +154,8 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         else:
             try:
                 self.text_encoder = T5TextEncoder(
-                    config.text_encoder, dtype=self.dtype) \
+                    config.text_encoder, dtype=self.dtype,
+                    offload=config.cpu_offload) \
                     if config.text_encoder else None
             except Exception as e:
                 raise RuntimeError(
@@ -172,7 +173,17 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         else:
             self.scheduler = EulerAncestralScheduler()
 
-        self.params = params if params is not None else self._init_params(seed)
+        if params is not None:
+            self.params = params
+        elif config.cpu_offload:
+            # low-mem: build params under a host default device (no init-time
+            # HBM peak); phases stream modules in via _exec_put
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.params = self._init_params(seed)
+        else:
+            self.params = self._init_params(seed)
+        if config.cpu_offload:
+            self._offload_params_to_host()
         self._step_fns: dict = {}
 
     # ---------------------------------------------------------------------- #
@@ -303,19 +314,21 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         mesh_ctx = (par.use_mesh(self.mesh) if self.mesh is not None
                     else jax.default_device(jax.devices()[0]))
         with mesh_ctx:
+            tparams = self._exec_put(self.params["transformer"])
             for i, t_i in enumerate(timesteps):
                 fn = self._get_eps_fn(plans[i], float(guidance_scale))
                 z_in = jnp.concatenate([z, z], axis=0)
                 if self.version == "v120":
                     z_in = self.scheduler.scale_model_input(z_in, i)
-                eps, cache = fn(self.params["transformer"], z_in, float(t_i),
+                eps, cache = fn(tparams, z_in, float(t_i),
                                 y_all, kv_mask_all, cache)
                 if self.version == "v110":
                     z = self.scheduler.step(eps, int(t_i), z)
                 else:
                     rng, nkey = jax.random.split(rng)
                     z = self.scheduler.step(eps, i, z, key=nkey)
-            video = self.vae.decode(self.params["vae"], z)
+            tparams = None  # cpu_offload: free transformer HBM
+            video = self.vae.decode(self._exec_put(self.params["vae"]), z)
 
         # uint8 on device: transfer 1/4 the bytes over the host link
         video = video.astype(jnp.float32)

@@ -144,7 +144,17 @@ class VchitectXLPipeline(VideoSysPipeline):
                     pooled_dim=self.model_config.pooled_projection_dim)
         self.scheduler = FlowMatchEulerScheduler()
 
-        self.params = params if params is not None else self._init_params(seed)
+        if params is not None:
+            self.params = params
+        elif config.cpu_offload:
+            # low-mem: build params under a host default device (no init-time
+            # HBM peak); phases stream modules in via _exec_put
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.params = self._init_params(seed)
+        else:
+            self.params = self._init_params(seed)
+        if config.cpu_offload:
+            self._offload_params_to_host()
         self._step_fns: dict = {}
 
     def _init_params(self, seed: int) -> dict:
@@ -238,11 +248,12 @@ class VchitectXLPipeline(VideoSysPipeline):
         mesh_ctx = (par.use_mesh(self.mesh) if self.mesh is not None
                     else jax.default_device(jax.devices()[0]))
         with mesh_ctx:
+            tparams = self._exec_put(self.params["transformer"])
             for i, t_i in enumerate(timesteps):
                 fn = self._get_v_fn(plans[i])
-                v_uncond, cache_u = fn(self.params["transformer"], z,
+                v_uncond, cache_u = fn(tparams, z,
                                        float(t_i), y_neg, pool_neg, cache_u)
-                v_text, cache_c = fn(self.params["transformer"], z,
+                v_text, cache_c = fn(tparams, z,
                                      float(t_i), y_pos, pool_pos, cache_c)
                 # cosine-dynamic guidance (:943-947)
                 gs = 1 + guidance_scale * (
@@ -258,8 +269,9 @@ class VchitectXLPipeline(VideoSysPipeline):
                 (frames, h_lat, w_lat, mc.in_channels))
             from videosys_tpu.utils.jit import jit_method
 
+            tparams = None  # cpu_offload: free transformer HBM
             video = jit_method(self, "_decode_frames")(
-                self.params["vae"], lat.astype(self.dtype))
+                self._exec_put(self.params["vae"]), lat.astype(self.dtype))
 
         # uint8 on device: transfer 1/4 the bytes over the host link
         video = video.astype(jnp.float32)

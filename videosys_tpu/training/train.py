@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +91,12 @@ class TrainConfig:
     # caption dropout: trains y_embedder.y_embedding (the CFG uncond branch)
     # — reference class_dropout_prob=0.1 (open_sora_transformer_3d.py:331)
     class_dropout_prob: float = 0.1
+    # experiment tracker (reference wandb hook, train.py:390-401): set
+    # wandb_project to log loss/avg_loss/lr per logged step via wandb (gated
+    # on the package being installed), or pass any callable(dict) as
+    # `tracker` for a dependency-free hook (tested with a list appender)
+    wandb_project: Optional[str] = None
+    tracker: Optional[Any] = None
 
 
 def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
@@ -276,9 +282,31 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             batch = {k: jax.device_put(v, _bsh(v)) for k, v in batch.items()}
         return batch, gas
 
+    # experiment tracker (reference wandb per-step loss/avg_loss/lr,
+    # train.py:390-401); avg_loss is the running mean since start
+    tracker = cfg.tracker
+    if tracker is None and cfg.wandb_project:
+        try:
+            import wandb
+
+            wandb.init(project=cfg.wandb_project)
+            tracker = lambda rec: wandb.log(rec, step=rec["step"])  # noqa: E731
+        except Exception as e:  # wandb not installed / offline
+            logger.warning("wandb tracker disabled: %s", e)
+    loss_sum = 0.0
+    loss_n = 0
+
     def _log_and_ckpt(epoch, plan, metrics, mesh_key, extra=None):
-        nonlocal global_step
+        nonlocal global_step, loss_sum, loss_n
         global_step += 1
+        if global_step % cfg.log_every == 0 or tracker is not None:
+            loss = float(metrics["loss"])
+            loss_sum += loss
+            loss_n += 1
+            lr = cfg.lr * min(1.0, global_step / max(1, cfg.warmup_steps))
+            if tracker is not None:
+                tracker({"step": global_step, "loss": loss,
+                         "avg_loss": loss_sum / loss_n, "lr": lr})
         if global_step % cfg.log_every == 0:
             loss = float(metrics["loss"])
             entry = {"step": global_step, "loss": loss,
