@@ -174,6 +174,28 @@ def main():
         print(f"# pab-heavy leg skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # --- best quality-evidenced leg: pair-delta broadcast, range 3, wide
+    #     thresholds (250,950) — 43.9 dB latent PSNR on the trained-weights
+    #     v2 protocol incl. held-out prompts (docs/pab_quality.json
+    #     "pair3_wide"), measured 1.80x e2e in docs/pab_speed.json.
+    #     This is the ladder that meets the BASELINE >=1.7x gate. --------- #
+    dt_best = None
+    best_timings = {}
+    try:
+        best_cfg = copy.copy(config)
+        best_cfg.enable_pab = True
+        best_cfg.pab_config = OpenSoraPABConfig(
+            pair_broadcast=True, pair_range=3, pair_threshold=(250, 950),
+            cache_dtype="float8_e4m3fn")
+        best_engine = VideoSysEngine(best_cfg,
+                                     params=engine.driver_worker.params)
+        best_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
+        dt_best, best_timings, _ = _timed_runs(best_engine, kwargs,
+                                               "pab-best(pair3_wide)")
+    except Exception as e:
+        print(f"# pab-best leg skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # --- same-workload baseline leg: the reference's published headline is
     #     106 s dense on 1xH800 for 80 frames / 512x512 (README.md:145-147);
     #     measure OUR latency on that exact workload so vs_baseline_same_
@@ -220,6 +242,18 @@ def main():
             round(timings["denoise"] / hv_timings["denoise"], 3)
             if (timings.get("denoise") and hv_timings.get("denoise"))
             else None),
+        # best quality-evidenced PAB point: pair-delta r3 wide — 43.9 dB
+        # latent PSNR (42.2 dB on HELD-OUT prompt compositions) on the
+        # trained-weights v2 protocol (docs/pab_quality.json "pair3_wide");
+        # ladder sweep in docs/pab_speed.json
+        "pab_best_latency_s": round(dt_best, 3) if dt_best else None,
+        "pab_best_speedup": round(dt / dt_best, 3) if dt_best else None,
+        "pab_best_denoise_speedup": (
+            round(timings["denoise"] / best_timings["denoise"], 3)
+            if (timings.get("denoise") and best_timings.get("denoise"))
+            else None),
+        "pab_best_config": "pair_broadcast r3 thresh(250,950) fp8",
+        "pab_best_latent_psnr_db_trained": 43.92,
         "videos_per_min_chip_dense": round(60.0 / dt, 3) if on_tpu else None,
         "videos_per_min_chip_pab": (round(60.0 / dt_pab, 3)
                                     if (on_tpu and dt_pab) else None),

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--out", default="docs/pab_speed.json")
     ap.add_argument("--skip-large", action="store_true")
+    ap.add_argument("--only-large", action="store_true",
+                    help="skip the 480p ladder sweep; run just the 720p/4s "
+                         "legs (merging into an existing --out file)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +62,9 @@ def main():
     from videosys_tpu import OpenSoraConfig, OpenSoraPABConfig, VideoSysEngine
 
     results = {"device": jax.devices()[0].device_kind}
+    if args.only_large and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
 
     def engine_for(pab_over, params=None):
         cfg = OpenSoraConfig(transformer=None, vae=None, text_encoder=None,
@@ -70,47 +76,48 @@ def main():
         return VideoSysEngine(cfg, params=params)
 
     # ---- 2s/480p ladder sweep ------------------------------------------ #
-    kw = dict(resolution="480p", aspect_ratio="9:16", num_frames="2s")
-    dense = engine_for(None)
-    dense.generate("warmup", seed=0, **kw)
-    t_dense, tim_dense = timed(dense, kw, "480p dense")
-    results["480p"] = {"dense_s": round(t_dense, 3),
-                       "dense_denoise_s": round(tim_dense["denoise"], 3),
-                       "ladders": {}}
-    params = dense.driver_worker.params
+    if not args.only_large:
+        kw = dict(resolution="480p", aspect_ratio="9:16", num_frames="2s")
+        dense = engine_for(None)
+        dense.generate("warmup", seed=0, **kw)
+        t_dense, tim_dense = timed(dense, kw, "480p dense")
+        results["480p"] = {"dense_s": round(t_dense, 3),
+                           "dense_denoise_s": round(tim_dense["denoise"], 3),
+                           "ladders": {}}
+        params = dense.driver_worker.params
 
-    ladders = {
-        "ref_default": dict(),
-        "mlp_range2": dict(mlp_range=2),
-        "mlp_range3_heavy": dict(spatial_range=3, temporal_range=6,
-                                 cross_range=8, mlp_range=3),
-        "pair2": dict(pair_broadcast=True, pair_range=2),
-        "pair3": dict(pair_broadcast=True, pair_range=3),
-        "pair4": dict(pair_broadcast=True, pair_range=4),
-        "pair3_wide": dict(pair_broadcast=True, pair_range=3,
-                           pair_threshold=(250, 950)),
-    }
-    for name, over in ladders.items():
-        try:
-            eng = engine_for(over, params=params)
-            eng.generate("warmup", seed=0, **kw)
-            t, tim = timed(eng, kw, f"480p {name}")
-            results["480p"]["ladders"][name] = {
-                "latency_s": round(t, 3),
-                "denoise_s": round(tim.get("denoise", 0), 3),
-                "e2e_speedup": round(t_dense / t, 3),
-                "denoise_speedup": round(
-                    tim_dense["denoise"] / tim["denoise"], 3)
-                if tim.get("denoise") else None,
-            }
-            del eng
-        except Exception as e:
-            results["480p"]["ladders"][name] = {
-                "error": f"{type(e).__name__}: {e}"[:200]}
-            print(f"# 480p {name} failed: {type(e).__name__}: {e}",
-                  flush=True)
+        ladders = {
+            "ref_default": dict(),
+            "mlp_range2": dict(mlp_range=2),
+            "mlp_range3_heavy": dict(spatial_range=3, temporal_range=6,
+                                     cross_range=8, mlp_range=3),
+            "pair2": dict(pair_broadcast=True, pair_range=2),
+            "pair3": dict(pair_broadcast=True, pair_range=3),
+            "pair4": dict(pair_broadcast=True, pair_range=4),
+            "pair3_wide": dict(pair_broadcast=True, pair_range=3,
+                               pair_threshold=(250, 950)),
+        }
+        for name, over in ladders.items():
+            try:
+                eng = engine_for(over, params=params)
+                eng.generate("warmup", seed=0, **kw)
+                t, tim = timed(eng, kw, f"480p {name}")
+                results["480p"]["ladders"][name] = {
+                    "latency_s": round(t, 3),
+                    "denoise_s": round(tim.get("denoise", 0), 3),
+                    "e2e_speedup": round(t_dense / t, 3),
+                    "denoise_speedup": round(
+                        tim_dense["denoise"] / tim["denoise"], 3)
+                    if tim.get("denoise") else None,
+                }
+                del eng
+            except Exception as e:
+                results["480p"]["ladders"][name] = {
+                    "error": f"{type(e).__name__}: {e}"[:200]}
+                print(f"# 480p {name} failed: {type(e).__name__}: {e}",
+                      flush=True)
 
-    del dense
+        del dense
 
     # ---- larger workloads: pair-delta only (memory-bounded cache) ------- #
     if not args.skip_large:
@@ -129,7 +136,10 @@ def main():
                 for name, over in (("pair3", dict(pair_broadcast=True,
                                                   pair_range=3)),
                                    ("pair4", dict(pair_broadcast=True,
-                                                  pair_range=4))):
+                                                  pair_range=4)),
+                                   ("pair3_wide",
+                                    dict(pair_broadcast=True, pair_range=3,
+                                         pair_threshold=(250, 950)))):
                     try:
                         eng = engine_for(over, params=params_b)
                         eng.generate("warmup", seed=0, **big_kw)

@@ -523,19 +523,29 @@ class OpenSoraPipeline(VideoSysPipeline):
                 if mask is None:
                     # group consecutive same-plan steps into scanned runs;
                     # fall back to per-step dispatch when the run would
-                    # double-buffer a large written cache slot, or for
-                    # batched prompts (B>1): the fused 30-step scan program
-                    # reproducibly kills the TPU runtime at B=2/480p
-                    # (isolated: single steps and the attention kernels at
-                    # the same shapes are fine; scan L>=8 faults), and at
-                    # multi-second step times per-step dispatch overhead is
-                    # <1% anyway
+                    # double-buffer a large written cache slot, or above the
+                    # runtime-fault token scale: the fused scan program
+                    # reproducibly kills the TPU runtime at scan L>=8 when
+                    # the CFG-doubled batch carries ~>=95k total DiT tokens
+                    # (first isolated at B=2/480p = 4x23.9k; B=1 720p (108k)
+                    # and 4s/480p (95k) hit the same fault — single steps
+                    # and the attention kernels at the same shapes are
+                    # fine). 64k is the conservative cut between the largest
+                    # known-good fused scan (48k) and the smallest fault
+                    # (95k); at multi-second step times per-step dispatch
+                    # overhead is <1% anyway. Repro:
+                    # experiments/scan_fault_repro.py; canary:
+                    # test_batched_prompts_use_per_step_dispatch.
+                    T_tok_s = -(-t_lat // mc.patch_size[0])
+                    S_tok_s = (-(-h_lat // mc.patch_size[1])) * (
+                        -(-w_lat // mc.patch_size[2]))
+                    total_tokens = 2 * B * T_tok_s * S_tok_s
                     i = 0
                     while i < len(timesteps):
                         j = i
                         while j < len(plans) and plans[j] == plans[i]:
                             j += 1
-                        if (j - i > 1 and B == 1
+                        if (j - i > 1 and B == 1 and total_tokens < 64_000
                                 and _touched_bytes(plans[i]) < (3 << 30)):
                             run_ts = jnp.asarray(timesteps[i:j], jnp.float32)
                             run_dts = jnp.asarray(dts[i:j], jnp.float32)
