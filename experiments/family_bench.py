@@ -9,7 +9,7 @@ latency is weight-agnostic). Workloads are the reference sample defaults
 
   Latte            16f  512x512   50 DDIM steps
   CogVideoX-2b     49f  480x720   50 DDIM steps
-  OSP v1.2         93f  352x640  100 EulerAncestral steps
+  OSP v1.2 29x480p 29f  352x640  100 EulerAncestral steps
   Vchitect-XL      40f  288x480  100 flow-match steps (2 model evals/step)
 
 Open-Sora's numbers live in bench.py / docs/performance.md.
@@ -72,8 +72,8 @@ def build_latte(scale):
         LatteConfig, LattePABConfig, LattePipeline)
 
     steps = max(2, int(50 * scale))
-    kw = dict(video_length=16, height=512, width=512,
-              num_inference_steps=steps)
+    kw = dict(prompt="a cat playing with a ball of yarn", video_length=16,
+              height=512, width=512, num_inference_steps=steps)
     dense = LattePipeline(LatteConfig(model_path=None, dtype="bf16"))
     pab = LattePipeline(
         LatteConfig(model_path=None, dtype="bf16", enable_pab=True,
@@ -87,8 +87,8 @@ def build_cogvideox(scale):
         CogVideoXConfig, CogVideoXPABConfig, CogVideoXPipeline)
 
     steps = max(2, int(50 * scale))
-    kw = dict(num_frames=49, height=480, width=720,
-              num_inference_steps=steps)
+    kw = dict(prompt="a cat playing with a ball of yarn", num_frames=49,
+              height=480, width=720, num_inference_steps=steps)
     dense = CogVideoXPipeline(CogVideoXConfig(model_path=None, dtype="bf16"))
     pab = CogVideoXPipeline(
         CogVideoXConfig(model_path=None, dtype="bf16", enable_pab=True,
@@ -103,13 +103,18 @@ def build_osp(scale):
         OpenSoraPlanConfig, OpenSoraPlanPipeline, OpenSoraPlanV120PABConfig)
 
     steps = max(2, int(100 * scale))
-    kw = dict(num_inference_steps=steps)
+    kw = dict(prompt="a cat playing with a ball of yarn",
+              num_inference_steps=steps)
+    # 29x480p (the config default, a real reference variant
+    # pipeline_open_sora_plan.py:198): 93x480p's 84k-token full-3D attention
+    # needs 17.2 GiB dense and cannot fit one 16 GiB v5e at any batch size
+    # (measured compile OOM) — that workload is multi-chip territory (sp>=2).
     cfg = OpenSoraPlanConfig(transformer=None, vae=None, text_encoder=None,
-                             version="v120", transformer_type="93x480p")
+                             version="v120", transformer_type="29x480p")
     dense = OpenSoraPlanPipeline(cfg)
     pab_cfg = OpenSoraPlanConfig(
         transformer=None, vae=None, text_encoder=None,
-        version="v120", transformer_type="93x480p", enable_pab=True,
+        version="v120", transformer_type="29x480p", enable_pab=True,
         pab_config=OpenSoraPlanV120PABConfig(cache_dtype="float8_e4m3fn"))
     pab = OpenSoraPlanPipeline(pab_cfg, params=dense.params)
     return dense.generate, pab.generate, kw, steps
@@ -120,7 +125,8 @@ def build_vchitect(scale):
         VchitectConfig, VchitectPABConfig, VchitectXLPipeline)
 
     steps = max(2, int(100 * scale))
-    kw = dict(width=480, height=288, frames=40, num_inference_steps=steps)
+    kw = dict(prompt="a cat playing with a ball of yarn", width=480,
+              height=288, frames=40, num_inference_steps=steps)
     dense = VchitectXLPipeline(VchitectConfig(model_path=None, dtype="bf16"))
     pab = VchitectXLPipeline(
         VchitectConfig(model_path=None, dtype="bf16", enable_pab=True,
@@ -152,7 +158,16 @@ def main():
     except Exception:
         pass
 
-    results = {"device": jax.devices()[0].device_kind}
+    # merge into an existing out-file so each family can run in a fresh
+    # process (isolates HBM and any runtime fault between families)
+    results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
+    results["device"] = jax.devices()[0].device_kind
     for fam in args.families.split(","):
         fam = fam.strip()
         print(f"== {fam}", flush=True)

@@ -130,3 +130,41 @@ def test_streaming_u8_decode_matches_whole_decode():
     got = np.concatenate([np.asarray(c) for c in chunks], axis=1)
     assert got.shape == u8_ref.shape and got.dtype == np.uint8
     np.testing.assert_array_equal(got, u8_ref)
+
+
+@pytest.mark.parametrize("cp,sp", [(1, 8), (2, 4)])
+def test_vae_decode_sharded_over_mesh_matches_single_device(cp, sp, capfd):
+    """Multi-chip VAE (round 4): decode under a mesh — spatial stage
+    frame-sharded (par.shard_frames), temporal stage row-sharded
+    (par.shard_vae_rows) — must (a) bit-match the no-mesh decode and
+    (b) compile without GSPMD's involuntary-replication fallback. The
+    cp2xsp4 case regression-gates the rows-over-(cp,sp) layout: cp on the
+    post-CFG size-1 batch dim made propagation move cp onto T and
+    reintroduced the fallback (see par.shard_vae_rows). The reference runs
+    its VAE replicated on every rank; sharding it is the next e2e lever
+    the 8-chip stack estimate exposes (docs/pab.md)."""
+    from videosys_tpu.core import parallel as par
+    from videosys_tpu.core.parallel import ParallelConfig, build_mesh
+
+    vae = OpenSoraVAE(
+        OpenSoraVAEConfig(micro_frame_size=17, micro_batch_size=4),
+        spatial=AutoencoderKL2D(mid_block_add_attention=False,
+                                block_out_channels=(8, 16),
+                                layers_per_block=1, num_groups=4),
+        temporal=_tiny_temporal(),
+    )
+    params = vae.init(jax.random.key(0))
+    num_frames = 34  # two 17-frame chunks; 34 pixel frames -> 10 latent
+    t_lat, h, w = vae.get_latent_size((num_frames, 32, 32))
+    z = jax.random.normal(jax.random.key(1),
+                          (1, vae.out_channels, t_lat, h, w), jnp.float32)
+
+    ref = np.asarray(vae.decode(params, z, num_frames=num_frames))
+
+    mesh = build_mesh(ParallelConfig(dp_size=1, cp_size=cp, sp_size=sp))
+    capfd.readouterr()
+    with par.use_mesh(mesh):
+        got = np.asarray(vae.decode(params, z, num_frames=num_frames))
+    err = capfd.readouterr().err
+    assert "full rematerialization" not in err, err[-2000:]
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)

@@ -187,6 +187,39 @@ def ulysses_shard_seq(x):
     return _constrain(x, P(BATCH_AXES, SP_AXIS, None, None))
 
 
+def shard_frames(x):
+    """Per-frame data-parallel layout for the spatial VAE ([N, H, W, C]
+    merged B*T frames): frames over EVERY mesh axis. 2D convs are
+    frame-local, so a multi-chip decode splits the frame loop with zero
+    communication — the next e2e lever after denoise (at sp=8 the
+    replicated VAE is ~half the non-denoise tail, docs/pab.md stack
+    estimate). The reference never parallelizes its VAE (vae loops run
+    replicated on every rank, pipeline_open_sora.py:239-268)."""
+    return _constrain(x, P((DP_AXIS, CP_AXIS, SP_AXIS), None, None, None))
+
+
+def shard_vae_rows(x):
+    """Temporal-VAE layout [B, T, h, w, C]: latent rows (h) over (cp, sp),
+    batch over dp only. The 3D causal convs are spatially local — GSPMD
+    inserts halo exchanges (kernel 3 -> 1-row halos) instead of replicating.
+
+    cp rides the ROW axis, not batch: the VAE always runs post-CFG-combine
+    (B=1 at inference) and cp=1 in training, so putting cp on a size-1
+    batch dim is degenerate — under cp2xsp4 GSPMD's propagation then moved
+    the idle cp onto T, and the mixed {T:cp, h:sp} layout cannot reshard
+    efficiently into the spatial stage's frames-over-all-axes layout
+    (involuntary-full-rematerialization warning in the dryrun cp2xsp4
+    leg). Rows over (cp, sp) -> the seam is a clean single cross-dim
+    all-to-all."""
+    return _constrain(x, P(DP_AXIS, None, (CP_AXIS, SP_AXIS), None, None))
+
+
+def mesh_world_size() -> int:
+    """Device count of the active mesh (1 when none)."""
+    mesh = active_mesh()
+    return 1 if mesh is None else int(mesh.devices.size)
+
+
 def token_pad_multiple() -> int:
     """Divisibility requirement for token dims (T, S) under the active mesh.
 

@@ -418,20 +418,25 @@ class AutoencoderKLCogVideoX:
             for j in range(0, W, step_w):
                 tile = z[:, :, i:i + c.tile_latent_min_height,
                          j:j + c.tile_latent_min_width]
-                row.append(self._decode_tile(params, tile))
+                # frame-pair streaming INSIDE each spatial tile, like the
+                # reference (tiled_decode :1205-1218 loops num_batches with
+                # the conv cache): a 13-latent-frame 720p-class tile decoded
+                # in one program holds ~GiB-scale up-block activations and
+                # OOMs a 16 GiB chip.
+                row.append(self._decode_streamed(params, tile))
             rows.append(row)
 
         def blend_v(a, b, extent):
             n = min(a.shape[2], extent)
             w = (jnp.arange(n) / n)[None, None, :, None, None]
             mixed = a[:, :, -n:] * (1 - w) + b[:, :, :n] * w
-            return mixed, n
+            return mixed.astype(b.dtype), n
 
         def blend_hz(a, b, extent):
             n = min(a.shape[3], extent)
             w = (jnp.arange(n) / n)[None, None, None, :, None]
             mixed = a[:, :, :, -n:] * (1 - w) + b[:, :, :, :n] * w
-            return mixed, n
+            return mixed.astype(b.dtype), n
 
         result_rows = []
         for i, row in enumerate(rows):

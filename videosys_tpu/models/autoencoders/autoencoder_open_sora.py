@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from videosys_tpu.core import parallel as par
 from videosys_tpu.models.autoencoders.vae2d import AutoencoderKL2D
 from videosys_tpu.models.autoencoders.vae_temporal import VAETemporal
 
@@ -93,16 +94,29 @@ class OpenSoraVAE:
     # ------------------------------------------------------------------ #
     def _spatial_map(self, fn, frames: jax.Array) -> jax.Array:
         """Apply `fn` over [N, H, W, C] frames in micro-batches via lax.map
-        (VideoAutoencoderKL micro_batch_size loop :508-536)."""
+        (VideoAutoencoderKL micro_batch_size loop :508-536).
+
+        Multi-chip: each micro-batch is sharded frame-wise over the whole
+        mesh (par.shard_frames) — 2D convs are frame-local, so the VAE
+        splits N-way with zero comm — and the micro-batch size scales by
+        the world size so the PER-DEVICE batch stays at the single-chip
+        memory bound. The reference runs its VAE replicated on every rank."""
+        ws = par.mesh_world_size()
         mbs = self.config.micro_batch_size
+        if mbs is not None:
+            mbs = mbs * ws
+
+        def sharded_fn(f):
+            return fn(par.shard_frames(f))
+
         N = frames.shape[0]
         if mbs is None or N <= mbs:
-            return fn(frames)
+            return sharded_fn(frames)
         pad = (-N) % mbs
         if pad:
             frames = jnp.concatenate([frames, frames[:pad]], axis=0)
         chunks = frames.reshape((-1, mbs) + frames.shape[1:])
-        out = jax.lax.map(fn, chunks)
+        out = jax.lax.map(sharded_fn, chunks)
         out = out.reshape((-1,) + out.shape[2:])
         return out[:N]
 
@@ -145,6 +159,7 @@ class OpenSoraVAE:
         x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(self.config.dtype)
         r1, r2 = jax.random.split(rng)
         x_z = self.spatial_encode(params, x, r1)  # [B, T, h, w, 4]
+        x_z = par.shard_vae_rows(x_z)  # multi-chip: latent rows over sp
         mf = self.config.micro_frame_size
         T = x_z.shape[1]
         z_list = []
@@ -203,8 +218,9 @@ class OpenSoraVAE:
         shift = jnp.asarray(SHIFT, z.dtype)
         scale = jnp.asarray(SCALE, z.dtype)
         z = z * scale + shift
-        x_z = self.temporal.apply(params["temporal"], z, num_frames,
-                                  method="decode")
+        # multi-chip: latent rows over sp (halo-exchanged 3D convs)
+        x_z = self.temporal.apply(params["temporal"], par.shard_vae_rows(z),
+                                  num_frames, method="decode")
         x = self.spatial_decode(params, x_z)  # [B, T, H, W, 3]
         u8 = jnp.clip((jnp.clip(x, -1, 1) + 1) / 2 * 255 + 0.5, 0, 255)
         return u8.astype(jnp.uint8)
@@ -215,6 +231,7 @@ class OpenSoraVAE:
         scale = jnp.asarray(SCALE, z.dtype)
         z = z * scale + shift
         mf = self.config.micro_frame_size
+        z = par.shard_vae_rows(z)  # multi-chip: latent rows over sp
         if mf is None:
             x_z = self.temporal.apply(params["temporal"], z, num_frames,
                                       method="decode")

@@ -184,21 +184,24 @@ class CogVideoXBlock(nn.Module):
 
     config: CogVideoXConfig
     bcast_attn: bool = False
+    cache_dtype: Any = None  # storage dtype for written slots (fp8 support)
 
     @nn.compact
     def __call__(self, x, enc, temb, rope, cache):
         cfg = self.config
+        cdt = self.cache_dtype or cfg.dtype
         new_cache: PABCache = {}
         nx, nenc, gate, e_gate = CogVideoXLayerNormZero(
             cfg.hidden_size, cfg.norm_eps, cfg.dtype, name="norm1")(x, enc, temb)
 
         if self.bcast_attn:
-            attn_x, attn_enc = cache["attn_x"], cache["attn_enc"]
+            attn_x = cache["attn_x"].astype(x.dtype)
+            attn_enc = cache["attn_enc"].astype(x.dtype)
         else:
             attn_x, attn_enc = CogVideoXJointAttention(cfg, name="attn1")(nx, nenc, rope)
         if "attn_x" in cache:
-            new_cache["attn_x"] = attn_x
-            new_cache["attn_enc"] = attn_enc
+            new_cache["attn_x"] = attn_x.astype(cdt)
+            new_cache["attn_enc"] = attn_enc.astype(cdt)
 
         x = x + gate * attn_x
         enc = enc + e_gate * attn_enc
@@ -219,15 +222,27 @@ class CogVideoXScannedBlock(nn.Module):
     config: CogVideoXConfig
     plan: PABStepPlan = PABStepPlan()
     pab_on: bool = False
+    cache_dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, scanned, temb, rope):
-        x, enc = carry
-        (cache,) = scanned
-        (x, enc), new_cache = CogVideoXBlock(
-            config=self.config, bcast_attn=self.plan.spatial, name="block",
-        )(x, enc, temb, rope, cache)
-        return (x, enc), new_cache
+        # full [depth, ...] cache slots ride the CARRY and update in place:
+        # scan-stacked cache outputs defeat donation (no aliasing) and double
+        # the cache HBM (same fix as STDiT3/Latte)
+        x, enc, cache = carry
+        (depth_idx,) = scanned
+        read = {k: jax.lax.dynamic_index_in_dim(a, depth_idx, 0,
+                                                keepdims=False)
+                for k, a in cache.items()}
+        (x, enc), written = CogVideoXBlock(
+            config=self.config, bcast_attn=self.plan.spatial,
+            cache_dtype=self.cache_dtype, name="block",
+        )(x, enc, temb, rope, read)
+        new_cache = dict(cache)
+        for k, v in written.items():
+            new_cache[k] = jax.lax.dynamic_update_index_in_dim(
+                cache[k], v, depth_idx, 0)
+        return (x, enc, new_cache), ()
 
 
 class CogVideoXTransformer3D(nn.Module):
@@ -239,13 +254,19 @@ class CogVideoXTransformer3D(nn.Module):
     pab_config: Optional[PABConfig] = None
     remat: bool = False
 
+    def _cache_dtype(self):
+        if self.pab_config is not None and self.pab_config.cache_dtype:
+            return getattr(jnp, self.pab_config.cache_dtype)
+        return None
+
     def init_cache(self, B: int, N_video: int, L: int) -> Dict[str, PABCache]:
         cfg = self.config
         if self.pab_config is None or not self.pab_config.spatial_broadcast:
             return {}
+        cdt = self._cache_dtype() or cfg.dtype
         return {
-            "attn_x": jnp.zeros((cfg.num_layers, B, N_video, cfg.hidden_size), cfg.dtype),
-            "attn_enc": jnp.zeros((cfg.num_layers, B, L, cfg.hidden_size), cfg.dtype),
+            "attn_x": jnp.zeros((cfg.num_layers, B, N_video, cfg.hidden_size), cdt),
+            "attn_enc": jnp.zeros((cfg.num_layers, B, L, cfg.hidden_size), cdt),
         }
 
     @nn.compact
@@ -304,10 +325,11 @@ class CogVideoXTransformer3D(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
         )
-        (xs, enc_s), new_cache = Scan(
+        (xs, enc_s, new_cache), _ = Scan(
             config=cfg, plan=self.plan,
-            pab_on=self.pab_config is not None, name="blocks",
-        )((xe, enc), (cache,), t_emb, rope)
+            pab_on=self.pab_config is not None,
+            cache_dtype=self._cache_dtype(), name="blocks",
+        )((xe, enc, cache), (jnp.arange(cfg.num_layers),), t_emb, rope)
 
         # 5. final norm + AdaLayerNorm out (:566-577)
         if cfg.use_rotary_positional_embeddings:  # 5B

@@ -115,11 +115,13 @@ class LatteSpatialBlock(nn.Module):
     bcast_cross: bool = False
     mlp_cached: bool = False
     rope: Any = None  # callable [B,H,N,D] -> rotated (RoPE2D, v110 :136-186)
+    cache_dtype: Any = None  # storage dtype for written slots (fp8 support)
 
     @nn.compact
     def __call__(self, x, y, t_6c, kv_mask, cache, mlp_save, mlp_use):
         cfg = self.config
         B, T, S, C = x.shape
+        cdt = self.cache_dtype or cfg.dtype
         new_cache: PABCache = {}
         table = self.param(
             "scale_shift_table",
@@ -128,7 +130,7 @@ class LatteSpatialBlock(nn.Module):
          shift_mlp, scale_mlp, gate_mlp) = _mods6(table, t_6c, B, x.dtype)
 
         if self.bcast_attn:
-            attn_out = cache["attn"]
+            attn_out = cache["attn"].astype(x.dtype)
         else:
             h = layer_norm(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
             # pin the resident frame shard on the 4D tensor before merging
@@ -144,11 +146,11 @@ class LatteSpatialBlock(nn.Module):
             )(hr).reshape(B, T, S, C)
             attn_out = gate_msa * attn_out
         if "attn" in cache:
-            new_cache["attn"] = attn_out
+            new_cache["attn"] = attn_out.astype(cdt)
         x = x + attn_out
 
         if self.bcast_cross:
-            cross_out = cache["cross"]
+            cross_out = cache["cross"].astype(x.dtype)
         else:
             # adaLN-single: no norm before cross attention (:446-449)
             xq = par.shard_cross_rows(x.reshape(B * T, S, C))
@@ -156,15 +158,16 @@ class LatteSpatialBlock(nn.Module):
                 dim=C, num_heads=cfg.num_heads, dtype=cfg.dtype, name="attn2",
             )(xq, y, kv_mask).reshape(B, T, S, C)
         if "cross" in cache:
-            new_cache["cross"] = cross_out
+            new_cache["cross"] = cross_out.astype(cdt)
         x = x + cross_out
 
         h = layer_norm(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
         ff = GEGLUFeedForward(dim=C, activation=cfg.activation_fn, dtype=cfg.dtype, name="ff")(h)
         ff = gate_mlp * ff
         if self.mlp_cached:
-            ff = jnp.where(mlp_use, cache["mlp"], ff)
-            new_cache["mlp"] = jnp.where(mlp_save, ff, cache["mlp"])
+            ff = jnp.where(mlp_use, cache["mlp"].astype(x.dtype), ff)
+            new_cache["mlp"] = jnp.where(
+                mlp_save, ff.astype(cdt), cache["mlp"])
         x = x + ff
         return x, new_cache
 
@@ -176,11 +179,13 @@ class LatteTemporalBlock(nn.Module):
     bcast_attn: bool = False
     mlp_cached: bool = False
     rope: Any = None  # RoPE1D over frames (v110 :199-243)
+    cache_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, t_6c, cache, mlp_save, mlp_use):
         cfg = self.config
         B, T, S, C = x.shape
+        cdt = self.cache_dtype or cfg.dtype
         new_cache: PABCache = {}
         table = self.param(
             "scale_shift_table",
@@ -189,7 +194,7 @@ class LatteTemporalBlock(nn.Module):
          shift_mlp, scale_mlp, gate_mlp) = _mods6(table, t_6c, B, x.dtype)
 
         if self.bcast_attn:
-            attn_out = cache["attn"]
+            attn_out = cache["attn"].astype(x.dtype)
         else:
             h = layer_norm(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
             # DSP flip: resident frame shard -> spatial shard (:735-745)
@@ -204,15 +209,16 @@ class LatteTemporalBlock(nn.Module):
             attn_out = par.shard_temporal(a)  # flip back to frame shard
             attn_out = gate_msa * attn_out
         if "attn" in cache:
-            new_cache["attn"] = attn_out
+            new_cache["attn"] = attn_out.astype(cdt)
         x = x + attn_out
 
         h = layer_norm(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
         ff = GEGLUFeedForward(dim=C, activation=cfg.activation_fn, dtype=cfg.dtype, name="ff")(h)
         ff = gate_mlp * ff
         if self.mlp_cached:
-            ff = jnp.where(mlp_use, cache["mlp"], ff)
-            new_cache["mlp"] = jnp.where(mlp_save, ff, cache["mlp"])
+            ff = jnp.where(mlp_use, cache["mlp"].astype(x.dtype), ff)
+            new_cache["mlp"] = jnp.where(
+                mlp_save, ff.astype(cdt), cache["mlp"])
         x = x + ff
         return x, new_cache
 
@@ -225,17 +231,41 @@ class LatteDepthPair(nn.Module):
     first_pair_temp_pos: bool = False  # handled by caller via scanned flag
     rope_spatial: Any = None
     rope_temporal: Any = None
+    cache_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, scanned, y, t_6c, kv_mask, temp_pos):
-        caches, mlp_flags, is_first = scanned
+    def __call__(self, carry, scanned, y, t_6c, kv_mask, temp_pos):
+        # The full [depth, ...] cache slots ride the scan CARRY and update
+        # in place via dynamic_update_index_in_dim — scan-STACKED cache
+        # outputs defeat buffer donation (the stacked array can't alias the
+        # donated input), which doubled the multi-GiB cache at Latte's
+        # 512x512 default and OOM'd a 16 GiB v5e. Same design as STDiT3's
+        # write_carries.
+        x, caches = carry
+        depth_idx, mlp_flags, is_first = scanned
         plan = self.plan
+
+        def read_slots(branch):
+            return {k: jax.lax.dynamic_index_in_dim(a, depth_idx, 0,
+                                                    keepdims=False)
+                    for k, a in caches.get(branch, {}).items()}
+
+        new_caches = {b: dict(slots) for b, slots in caches.items()}
+
+        def write_slots(branch, written):
+            for k, v in written.items():
+                new_caches[branch][k] = jax.lax.dynamic_update_index_in_dim(
+                    caches[branch][k], v, depth_idx, 0)
+
         x, nc_s = LatteSpatialBlock(
             config=self.config, bcast_attn=plan.spatial, bcast_cross=plan.cross,
             mlp_cached="mlp" in self.cache_keys_spatial,
-            rope=self.rope_spatial, name="spatial",
-        )(x, y, t_6c, kv_mask, caches.get("spatial", {}),
+            rope=self.rope_spatial, cache_dtype=self.cache_dtype,
+            name="spatial",
+        )(x, y, t_6c, kv_mask, read_slots("spatial"),
           mlp_flags.get("spatial_save", False), mlp_flags.get("spatial_use", False))
+        if nc_s:
+            write_slots("spatial", nc_s)
         if x.shape[1] > 1 and temp_pos is not None:
             # temporal pos embed added before the FIRST temporal block only
             # (latte :1410-1411)
@@ -243,15 +273,13 @@ class LatteDepthPair(nn.Module):
         x, nc_t = LatteTemporalBlock(
             config=self.config, bcast_attn=plan.temporal,
             mlp_cached="mlp" in self.cache_keys_temporal,
-            rope=self.rope_temporal, name="temporal",
-        )(x, t_6c, caches.get("temporal", {}),
+            rope=self.rope_temporal, cache_dtype=self.cache_dtype,
+            name="temporal",
+        )(x, t_6c, read_slots("temporal"),
           mlp_flags.get("temporal_save", False), mlp_flags.get("temporal_use", False))
-        new_caches = {}
-        if nc_s:
-            new_caches["spatial"] = nc_s
         if nc_t:
-            new_caches["temporal"] = nc_t
-        return x, new_caches
+            write_slots("temporal", nc_t)
+        return (x, new_caches), ()
 
 
 class LatteT2V(nn.Module):
@@ -277,14 +305,20 @@ class LatteT2V(nn.Module):
             keys.append("mlp")
         return tuple(keys)
 
+    def _cache_dtype(self):
+        if self.pab_config is not None and self.pab_config.cache_dtype:
+            return getattr(jnp, self.pab_config.cache_dtype)
+        return None
+
     def init_cache(self, B: int, T: int, S: int) -> Dict[str, PABCache]:
         cfg = self.config
+        cdt = self._cache_dtype() or cfg.dtype
         shape = (cfg.num_layers, B, T, S, cfg.hidden_size)
         caches: Dict[str, PABCache] = {}
         for branch, temporal in (("spatial", False), ("temporal", True)):
             keys = self.cache_keys(temporal)
             if keys:
-                caches[branch] = {k: jnp.zeros(shape, cfg.dtype) for k in keys}
+                caches[branch] = {k: jnp.zeros(shape, cdt) for k in keys}
         return caches
 
     def _mlp_flag_arrays(self) -> Dict[str, jax.Array]:
@@ -349,7 +383,8 @@ class LatteT2V(nn.Module):
         caches = pab_cache if pab_cache is not None else {}
         mlp_flags = self._mlp_flag_arrays()
         is_first = jnp.zeros((cfg.num_layers,), jnp.float32).at[0].set(1.0)
-        scanned = (caches, mlp_flags, is_first)
+        depth_ids = jnp.arange(cfg.num_layers)
+        scanned = (depth_ids, mlp_flags, is_first)
 
         pair_cls = LatteDepthPair
         if self.remat:
@@ -387,13 +422,14 @@ class LatteT2V(nn.Module):
             rope_t = lambda q: apply_rope_multiaxis(
                 q, ct[None, None], st[None, None], 1)
 
-        xs, new_caches = ScanPairs(
+        (xs, new_caches), _ = ScanPairs(
             config=cfg, plan=self.plan,
             cache_keys_spatial=self.cache_keys(False),
             cache_keys_temporal=self.cache_keys(True),
             rope_spatial=rope_s, rope_temporal=rope_t,
+            cache_dtype=self._cache_dtype(),
             name="blocks",
-        )(xe, scanned, y, t_6c, kv_mask, temp_pos)
+        )((xe, caches), scanned, y, t_6c, kv_mask, temp_pos)
 
         # --- final layer (:1439-1446) --------------------------------------- #
         table = self.param(

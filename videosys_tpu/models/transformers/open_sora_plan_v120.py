@@ -190,11 +190,13 @@ class V120Block(nn.Module):
     config: OpenSoraPlanV120Config
     bcast_spatial: bool = False
     bcast_cross: bool = False
+    cache_dtype: Any = None  # storage dtype for written slots (fp8 support)
 
     @nn.compact
     def __call__(self, x, enc, mods, kv_mask, rope, cache):
         cfg = self.config
         C = cfg.hidden_size
+        cdt = self.cache_dtype or cfg.dtype
         new_cache: PABCache = {}
         table = self.param(
             "scale_shift_table",
@@ -206,23 +208,23 @@ class V120Block(nn.Module):
 
         # 1. self-attention (PAB spatial gate :1353-1380)
         if self.bcast_spatial:
-            attn = cache["spatial"]
+            attn = cache["spatial"].astype(x.dtype)
         else:
             nx = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_scale=False,
                               dtype=jnp.float32, name="norm1")(x).astype(cfg.dtype)
             nx = nx * (1 + scale_msa) + shift_msa
             attn = V120SelfAttention(cfg, name="attn1")(nx, rope)
         if "spatial" in cache:
-            new_cache["spatial"] = attn
+            new_cache["spatial"] = attn.astype(cdt)
         x = x + gate_msa * attn
 
         # 2. cross-attention; ada_norm_single applies no norm here (:1402-1406)
         if self.bcast_cross:
-            attn = cache["cross"]
+            attn = cache["cross"].astype(x.dtype)
         else:
             attn = V120CrossAttention(cfg, name="attn2")(x, enc, kv_mask)
         if "cross" in cache:
-            new_cache["cross"] = attn
+            new_cache["cross"] = attn.astype(cdt)
         x = x + attn
 
         # 3. FFN: norm2 + mlp modulation (:1430-1436); activation follows the
@@ -245,15 +247,28 @@ class V120Block(nn.Module):
 class V120ScannedBlock(nn.Module):
     config: OpenSoraPlanV120Config
     plan: PABStepPlan = PABStepPlan()
+    cache_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, scanned, enc, mods, kv_mask, rope):
-        (cache,) = scanned
-        x, new_cache = V120Block(
+    def __call__(self, carry, scanned, enc, mods, kv_mask, rope):
+        # full [depth, ...] cache slots ride the CARRY and update in place:
+        # scan-stacked cache outputs defeat donation (no aliasing) and double
+        # the cache HBM (same fix as STDiT3/Latte/CogVideoX)
+        x, cache = carry
+        (depth_idx,) = scanned
+        read = {k: jax.lax.dynamic_index_in_dim(a, depth_idx, 0,
+                                                keepdims=False)
+                for k, a in cache.items()}
+        x, written = V120Block(
             config=self.config, bcast_spatial=self.plan.spatial,
-            bcast_cross=self.plan.cross, name="block",
-        )(x, enc, mods, kv_mask, rope, cache)
-        return x, new_cache
+            bcast_cross=self.plan.cross, cache_dtype=self.cache_dtype,
+            name="block",
+        )(x, enc, mods, kv_mask, rope, read)
+        new_cache = dict(cache)
+        for k, v in written.items():
+            new_cache[k] = jax.lax.dynamic_update_index_in_dim(
+                cache[k], v, depth_idx, 0)
+        return (x, new_cache), ()
 
 
 class OpenSoraPlanV120Transformer(nn.Module):
@@ -267,17 +282,23 @@ class OpenSoraPlanV120Transformer(nn.Module):
     pab_config: Optional[PABConfig] = None
     remat: bool = False
 
+    def _cache_dtype(self):
+        if self.pab_config is not None and self.pab_config.cache_dtype:
+            return getattr(jnp, self.pab_config.cache_dtype)
+        return None
+
     def init_cache(self, B: int, N: int) -> Dict[str, jax.Array]:
         cfg = self.config
         if self.pab_config is None:
             return {}
+        cdt = self._cache_dtype() or cfg.dtype
         cache: Dict[str, jax.Array] = {}
         if self.pab_config.spatial_broadcast:
             cache["spatial"] = jnp.zeros((cfg.num_layers, B, N, cfg.hidden_size),
-                                         cfg.dtype)
+                                         cdt)
         if self.pab_config.cross_broadcast:
             cache["cross"] = jnp.zeros((cfg.num_layers, B, N, cfg.hidden_size),
-                                       cfg.dtype)
+                                       cdt)
         return cache
 
     @nn.compact
@@ -347,8 +368,11 @@ class OpenSoraPlanV120Transformer(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
         )
-        xs, new_cache = Scan(config=cfg, plan=self.plan, name="blocks")(
-            xe, (cache,), enc, mods, kv_mask, rope)
+        (xs, new_cache), _ = Scan(config=cfg, plan=self.plan,
+                                  cache_dtype=self._cache_dtype(),
+                                  name="blocks")(
+            (xe, cache), (jnp.arange(cfg.num_layers),), enc, mods, kv_mask,
+            rope)
 
         # 4. output head (:2067-2082, ada_norm_single branch)
         table = self.param(

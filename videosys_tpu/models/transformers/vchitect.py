@@ -102,6 +102,7 @@ class VchitectJointAttention(nn.Module):
     bcast_temporal: bool = False
     bcast_cross: bool = False
     context_pre_only: bool = False
+    cache_dtype: Any = None  # storage dtype for written slots (fp8 support)
 
     @nn.compact
     def __call__(self, x, enc, freqs, cache):
@@ -109,6 +110,7 @@ class VchitectJointAttention(nn.Module):
         B, F, S, C = x.shape
         L = enc.shape[2]
         H, D = cfg.num_heads, cfg.head_dim
+        cdt = self.cache_dtype or cfg.dtype
         new_cache: PABCache = {}
 
         # shared context projections (:836-839)
@@ -121,7 +123,8 @@ class VchitectJointAttention(nn.Module):
 
         # ---- temporal attention (:706-766) ------------------------------- #
         if self.bcast_temporal:
-            temporal_x, temporal_enc = cache["temporal_x"], cache["temporal_enc"]
+            temporal_x = cache["temporal_x"].astype(x.dtype)
+            temporal_enc = cache["temporal_enc"].astype(x.dtype)
         else:
             qt = jnp.concatenate(
                 [nn.Dense(C, dtype=cfg.dtype, name="to_q_temp")(x), enc_q], axis=2)
@@ -149,12 +152,12 @@ class VchitectJointAttention(nn.Module):
                 of[:, :, :S])
             temporal_enc = of[:, :, S:]
         if "temporal_x" in cache:
-            new_cache["temporal_x"] = temporal_x
-            new_cache["temporal_enc"] = temporal_enc
+            new_cache["temporal_x"] = temporal_x.astype(cdt)
+            new_cache["temporal_enc"] = temporal_enc.astype(cdt)
 
         # ---- cross attention (:768-808): all tokens -> frame-0 context --- #
         if self.bcast_cross:
-            cross = cache["cross"]
+            cross = cache["cross"].astype(x.dtype)
         else:
             qc = jnp.concatenate(
                 [nn.Dense(C, dtype=cfg.dtype, name="to_q_cross")(x), enc_q], axis=2)
@@ -166,11 +169,11 @@ class VchitectJointAttention(nn.Module):
             oc = jnp.swapaxes(oc, 1, 2).reshape(B, F, S + L, C)
             cross = nn.Dense(C, dtype=cfg.dtype, name="to_out_context")(oc)
         if "cross" in cache:
-            new_cache["cross"] = cross
+            new_cache["cross"] = cross.astype(cdt)
 
         # ---- spatial (joint per-frame) attention (:667-704) -------------- #
         if self.bcast_spatial:
-            spatial = cache["spatial"]
+            spatial = cache["spatial"].astype(x.dtype)
         else:
             qs = jnp.concatenate(
                 [nn.Dense(C, dtype=cfg.dtype, name="to_q")(x), enc_q], axis=2)
@@ -184,7 +187,7 @@ class VchitectJointAttention(nn.Module):
                 per_frame(qs), per_frame(ks), per_frame(vs), scale=D**-0.5)
             spatial = jnp.swapaxes(os_, 1, 2).reshape(B, F, S + L, C)
         if "spatial" in cache:
-            new_cache["spatial"] = spatial
+            new_cache["spatial"] = spatial.astype(cdt)
 
         # ---- combine (:905-931): spatial * 1.1 + cross, split, project --- #
         joint = spatial * 1.1 + cross
@@ -208,6 +211,7 @@ class VchitectBlock(nn.Module):
     config: VchitectModelConfig
     plan: PABStepPlan = PABStepPlan()
     context_pre_only: bool = False
+    cache_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, enc, temb, freqs, cache):
@@ -232,7 +236,8 @@ class VchitectBlock(nn.Module):
         attn_x, attn_enc, new_cache = VchitectJointAttention(
             cfg, bcast_spatial=self.plan.spatial,
             bcast_temporal=self.plan.temporal, bcast_cross=self.plan.cross,
-            context_pre_only=self.context_pre_only, name="attn",
+            context_pre_only=self.context_pre_only,
+            cache_dtype=self.cache_dtype, name="attn",
         )(nx, nenc, freqs, cache)
 
         x = x + g_msa * attn_x
@@ -259,15 +264,27 @@ class VchitectBlock(nn.Module):
 class VchitectScannedBlock(nn.Module):
     config: VchitectModelConfig
     plan: PABStepPlan = PABStepPlan()
+    cache_dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, scanned, temb, freqs):
-        x, enc = carry
-        (cache,) = scanned
-        x, enc, new_cache = VchitectBlock(
-            config=self.config, plan=self.plan, name="block",
-        )(x, enc, temb, freqs, cache)
-        return (x, enc), new_cache
+        # full [depth, ...] cache slots ride the CARRY and update in place:
+        # scan-stacked cache outputs defeat donation (no aliasing) and double
+        # the cache HBM (same fix as STDiT3/Latte/CogVideoX)
+        x, enc, cache = carry
+        (depth_idx,) = scanned
+        read = {k: jax.lax.dynamic_index_in_dim(a, depth_idx, 0,
+                                                keepdims=False)
+                for k, a in cache.items()}
+        x, enc, written = VchitectBlock(
+            config=self.config, plan=self.plan,
+            cache_dtype=self.cache_dtype, name="block",
+        )(x, enc, temb, freqs, read)
+        new_cache = dict(cache)
+        for k, v in written.items():
+            new_cache[k] = jax.lax.dynamic_update_index_in_dim(
+                cache[k], v, depth_idx, 0)
+        return (x, enc, new_cache), ()
 
 
 class VchitectXLTransformer(nn.Module):
@@ -280,20 +297,26 @@ class VchitectXLTransformer(nn.Module):
     pab_config: Optional[PABConfig] = None
     remat: bool = False
 
+    def _cache_dtype(self):
+        if self.pab_config is not None and self.pab_config.cache_dtype:
+            return getattr(jnp, self.pab_config.cache_dtype)
+        return None
+
     def init_cache(self, B: int, F: int, S: int, L: int) -> Dict[str, jax.Array]:
         cfg = self.config
         if self.pab_config is None:
             return {}
         n = cfg.num_layers - 1  # scanned blocks only; final block runs dense
         C = cfg.hidden_size
+        cdt = self._cache_dtype() or cfg.dtype
         cache: Dict[str, jax.Array] = {}
         if self.pab_config.spatial_broadcast:
-            cache["spatial"] = jnp.zeros((n, B, F, S + L, C), cfg.dtype)
+            cache["spatial"] = jnp.zeros((n, B, F, S + L, C), cdt)
         if self.pab_config.cross_broadcast:
-            cache["cross"] = jnp.zeros((n, B, F, S + L, C), cfg.dtype)
+            cache["cross"] = jnp.zeros((n, B, F, S + L, C), cdt)
         if self.pab_config.temporal_broadcast:
-            cache["temporal_x"] = jnp.zeros((n, B, F, S, C), cfg.dtype)
-            cache["temporal_enc"] = jnp.zeros((n, B, F, L, C), cfg.dtype)
+            cache["temporal_x"] = jnp.zeros((n, B, F, S, C), cdt)
+            cache["temporal_enc"] = jnp.zeros((n, B, F, L, C), cdt)
         return cache
 
     @nn.compact
@@ -354,8 +377,10 @@ class VchitectXLTransformer(nn.Module):
             out_axes=0,
             length=cfg.num_layers - 1,
         )
-        (xs, enc_s), new_cache = Scan(config=cfg, plan=self.plan, name="blocks")(
-            (xe, enc), (cache,), temb, freqs)
+        (xs, enc_s, new_cache), _ = Scan(config=cfg, plan=self.plan,
+                                         cache_dtype=self._cache_dtype(),
+                                         name="blocks")(
+            (xe, enc, cache), (jnp.arange(cfg.num_layers - 1),), temb, freqs)
         # final block: context_pre_only (:302); always dense — its cache is
         # not carried (one block of the 18 forgoing PAB is <6% of the saving)
         xs, _, _ = VchitectBlock(cfg, plan=PABStepPlan(), context_pre_only=True,

@@ -207,8 +207,13 @@ def _flash_attention_fwd_impl(
         kv_itemsize = jnp.dtype(k.dtype).itemsize
         for nblocks in range(1, 1 + _round_up(Nq, 16) // 16):
             cand = _round_up(-(-Nq // nblocks), 16)
-            vmem = (cand * whole_kv * 4 + 2 * whole_kv * Dp * kv_itemsize
-                    + 2 * cand * Dp * 4)
+            # the pallas pipeline DOUBLE-BUFFERS every in/out block: k+v and
+            # q/o each hold two copies in VMEM. Missing the 2x here let the
+            # D=512 VAE mid-attention (Nk=4096, k+v alone = 16 MiB doubled)
+            # pick single-pass and fault the 16 MiB scoped-vmem limit at
+            # compile; such shapes must take the blocked kernel.
+            vmem = (cand * whole_kv * 4 + 4 * whole_kv * Dp * kv_itemsize
+                    + 4 * cand * Dp * 4)
             if vmem <= (10 << 20):
                 block_q = cand
                 block_kv = whole_kv

@@ -19,13 +19,19 @@ def jit_init(init_fn, *args, **kwargs):
 
 
 def jit_method(obj, name: str, static_argnums=()):
-    """jit `getattr(obj, name)` once per (name, static_argnums), cached on the
-    instance. jax's own shape cache handles per-shape specialization."""
+    """jit `getattr(obj, name)` once per (name, static_argnums, active mesh),
+    cached on the instance. jax's own shape cache handles per-shape
+    specialization. The ACTIVE MESH is part of the key because sharding
+    constraints (e.g. the VAE's par.shard_frames) read it at trace time —
+    without it, a traced no-mesh program would be silently reused when the
+    same shapes are later run under a mesh (and vice versa)."""
+    from videosys_tpu.core import parallel as par
+
     cache = getattr(obj, "_jit_cache", None)
     if cache is None:
         cache = {}
         object.__setattr__(obj, "_jit_cache", cache)
-    key = (name, tuple(static_argnums))
+    key = (name, tuple(static_argnums), par.active_mesh())
     if key not in cache:
         cache[key] = jax.jit(getattr(obj, name), static_argnums=static_argnums)
     return cache[key]
