@@ -38,11 +38,11 @@ def _stdit3_flops_per_step(mc, B, T, S, L):
     return mc.depth * (attn_sp + attn_tp + cross + mlp)
 
 
-def _timed_runs(engine, kwargs, label):
-    """Best-of-two (shared-pool chip: co-tenant interference)."""
+def _timed_runs(engine, kwargs, label, runs=2):
+    """Best-of-N (shared-pool chip: co-tenant interference)."""
     dts = []
     video = None
-    for i in (1, 2):
+    for i in range(1, runs + 1):
         t0 = time.perf_counter()
         out = engine.generate("a breathtaking sunrise over snowy mountains",
                               seed=i, **kwargs)
@@ -101,9 +101,11 @@ def main():
 
     engine = VideoSysEngine(config)
 
-    # warmup (compile)
+    # warmup (compile); dense is best-of-3 — it is the denominator of every
+    # speedup ratio and the r3->r4 drift showed run-to-run tunnel noise of
+    # ~1-3% on the shared-pool chip (docs/performance.md "noise band")
     engine.generate("benchmark warmup", seed=0, **kwargs)
-    dt, timings, dense_video = _timed_runs(engine, kwargs, "dense")
+    dt, timings, dense_video = _timed_runs(engine, kwargs, "dense", runs=3)
 
     # --- MFU estimate for the dense denoise phase ------------------------ #
     mfu = None
@@ -130,71 +132,90 @@ def main():
         if peak:
             mfu = total / timings["denoise"] / peak
 
-    # --- PAB leg: full reference scope (spatial+temporal+cross+MLP,
-    #     pipeline_open_sora.py:32-69), fp8 cache, sharing dense weights ---- #
+    # --- PAB legs. Each leg builds its engine, measures, and FREES it
+    #     (del + gc) before the next leg runs: a resident dead engine keeps
+    #     its compiled programs and cache buffers in HBM, and r4 measured a
+    #     reproducible ~3 s extra non-denoise tail on the best leg when the
+    #     dense/pab/heavy engines stayed alive under it (BENCH_r04 25.32 s vs
+    #     experiments/pab_speed.py 22.40 s for the same ladder — VERDICT r4
+    #     Weak #1). pab_speed.py frees each ladder engine; match that. ----- #
     import copy
+    import gc
 
     from videosys_tpu import OpenSoraPABConfig
 
-    pab_cfg = copy.copy(config)
-    pab_cfg.enable_pab = True
-    pab_cfg.pab_config = OpenSoraPABConfig(cache_dtype="float8_e4m3fn")
+    def _pab_leg(pab_config, label, want_video=False):
+        cfg2 = copy.copy(config)
+        cfg2.enable_pab = True
+        cfg2.pab_config = pab_config
+        eng = VideoSysEngine(cfg2, params=engine.driver_worker.params)
+        eng.generate("benchmark warmup", seed=0, **kwargs)  # compile
+        dt2, tim2, video2 = _timed_runs(eng, kwargs, label)
+        del eng
+        gc.collect()
+        return dt2, tim2, (video2 if want_video else None)
+
+    # full reference scope (spatial+temporal+cross+MLP,
+    # pipeline_open_sora.py:32-69), fp8 cache, sharing dense weights
     dt_pab = None
     pab_timings = {}
     pab_psnr = None
     try:
-        pab_engine = VideoSysEngine(pab_cfg,
-                                    params=engine.driver_worker.params)
-        pab_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
-        dt_pab, pab_timings, pab_video = _timed_runs(pab_engine, kwargs, "pab")
+        dt_pab, pab_timings, pab_video = _pab_leg(
+            OpenSoraPABConfig(cache_dtype="float8_e4m3fn"), "pab",
+            want_video=True)
         # NOTE: with random-init weights adjacent-step attention is chaotic,
         # so this PSNR is a floor; the >=35 dB BASELINE gate applies to
         # trained checkpoints (see tests/test_pipeline_open_sora.py).
         pab_psnr = round(_psnr(dense_video, pab_video), 2)
+        del pab_video
+        gc.collect()
     except Exception as e:  # PAB cache may not fit small-HBM chips
         print(f"# pab leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # --- heavy-PAB leg: s3/t6/c8 ranges (+MLP), the quality-evidenced
-    #     aggressive point of the Pareto in docs/pab_quality.json (49.4 dB
-    #     latent PSNR on trained weights, >=14 dB above the 35 dB gate;
-    #     experiments/pab_quality.py "heavy(s3,t6,c8,mlp)") ---------------- #
+    # heavy-PAB leg: s3/t6/c8 ranges (+MLP), the quality-evidenced
+    # aggressive point of the Pareto in docs/pab_quality.json
+    # (experiments/pab_quality.py "heavy(s3,t6,c8,mlp)")
     dt_hv = None
     hv_timings = {}
     try:
-        hv_cfg = copy.copy(config)
-        hv_cfg.enable_pab = True
-        hv_cfg.pab_config = OpenSoraPABConfig(
-            spatial_range=3, temporal_range=6, cross_range=8,
-            cache_dtype="float8_e4m3fn")
-        hv_engine = VideoSysEngine(hv_cfg,
-                                   params=engine.driver_worker.params)
-        hv_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
-        dt_hv, hv_timings, _ = _timed_runs(hv_engine, kwargs, "pab-heavy")
+        dt_hv, hv_timings, _ = _pab_leg(
+            OpenSoraPABConfig(spatial_range=3, temporal_range=6,
+                              cross_range=8, cache_dtype="float8_e4m3fn"),
+            "pab-heavy")
     except Exception as e:
         print(f"# pab-heavy leg skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # --- best quality-evidenced leg: pair-delta broadcast, range 3, wide
-    #     thresholds (250,950) — 43.9 dB latent PSNR on the trained-weights
-    #     v2 protocol incl. held-out prompts (docs/pab_quality.json
-    #     "pair3_wide"), measured 1.80x e2e in docs/pab_speed.json.
-    #     This is the ladder that meets the BASELINE >=1.7x gate. --------- #
+    # best quality-evidenced leg: pair-delta broadcast, range 3, wide
+    # thresholds (250,950) — quality columns read live from
+    # docs/pab_quality.json below; ladder sweep in docs/pab_speed.json.
+    # This is the ladder that meets the BASELINE >=1.7x gate.
     dt_best = None
     best_timings = {}
     try:
-        best_cfg = copy.copy(config)
-        best_cfg.enable_pab = True
-        best_cfg.pab_config = OpenSoraPABConfig(
-            pair_broadcast=True, pair_range=3, pair_threshold=(250, 950),
-            cache_dtype="float8_e4m3fn")
-        best_engine = VideoSysEngine(best_cfg,
-                                     params=engine.driver_worker.params)
-        best_engine.generate("benchmark warmup", seed=0, **kwargs)  # compile
-        dt_best, best_timings, _ = _timed_runs(best_engine, kwargs,
-                                               "pab-best(pair3_wide)")
+        dt_best, best_timings, _ = _pab_leg(
+            OpenSoraPABConfig(pair_broadcast=True, pair_range=3,
+                              pair_threshold=(250, 950),
+                              cache_dtype="float8_e4m3fn"),
+            "pab-best(pair3_wide)")
     except Exception as e:
         print(f"# pab-best leg skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
+
+    # trained-weights quality columns for the best ladder, read from the
+    # current quality artifact (experiments/pab_quality.py) so BENCH stays in
+    # sync with the evidence: mean AND worst-prompt latent PSNR (VERDICT r4
+    # Weak #3 asked for min next to mean everywhere)
+    best_qual = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "pab_quality.json")) as f:
+            for k, v in json.load(f).get("results", {}).items():
+                if k.startswith("pair3_wide"):
+                    best_qual = v
+    except Exception:
+        pass
 
     # --- same-workload baseline leg: the reference's published headline is
     #     106 s dense on 1xH800 for 80 frames / 512x512 (README.md:145-147);
@@ -242,10 +263,9 @@ def main():
             round(timings["denoise"] / hv_timings["denoise"], 3)
             if (timings.get("denoise") and hv_timings.get("denoise"))
             else None),
-        # best quality-evidenced PAB point: pair-delta r3 wide — 43.9 dB
-        # latent PSNR (42.2 dB on HELD-OUT prompt compositions) on the
-        # trained-weights v2 protocol (docs/pab_quality.json "pair3_wide");
-        # ladder sweep in docs/pab_speed.json
+        # best quality-evidenced PAB point: pair-delta r3 wide — quality
+        # columns (mean + worst-prompt latent PSNR on trained weights) read
+        # from docs/pab_quality.json; ladder sweep in docs/pab_speed.json
         "pab_best_latency_s": round(dt_best, 3) if dt_best else None,
         "pab_best_speedup": round(dt / dt_best, 3) if dt_best else None,
         "pab_best_denoise_speedup": (
@@ -253,7 +273,8 @@ def main():
             if (timings.get("denoise") and best_timings.get("denoise"))
             else None),
         "pab_best_config": "pair_broadcast r3 thresh(250,950) fp8",
-        "pab_best_latent_psnr_db_trained": 43.92,
+        "pab_best_latent_psnr_db_trained": best_qual.get("latent_psnr_db"),
+        "pab_best_latent_psnr_min_db": best_qual.get("latent_psnr_min_db"),
         "videos_per_min_chip_dense": round(60.0 / dt, 3) if on_tpu else None,
         "videos_per_min_chip_pab": (round(60.0 / dt_pab, 3)
                                     if (on_tpu and dt_pab) else None),
