@@ -58,6 +58,28 @@ def test_pab_cache_roundtrip():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+def test_pab_fp8_cache_roundtrip():
+    """fp8 PAB cache (the configuration family_bench benches) must store
+    float8 slots and keep the broadcast output within quantization error of
+    the dense pass (advisor r4: the benched config was untested here)."""
+    from videosys_tpu.core.pab import PABConfig, PABStepPlan
+
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(100, 900),
+                    spatial_range=2, cache_dtype="float8_e4m3fn")
+    x, enc, t = _inputs()
+    m_compute = CogVideoXTransformer3D(TINY_2B, plan=PABStepPlan(),
+                                       pab_config=pab)
+    params = m_compute.init(jax.random.key(0), x, enc, t)
+    cache = m_compute.init_cache(B=2, N_video=2 * 16, L=8)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    out1, cache1 = m_compute.apply(params, x, enc, t, pab_cache=cache)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache1)} == {"float8_e4m3fn"}
+    m_bcast = CogVideoXTransformer3D(TINY_2B, plan=PABStepPlan(spatial=True),
+                                     pab_config=pab)
+    out2, _ = m_bcast.apply(params, x, enc, t, pab_cache=cache1)
+    assert float(np.abs(np.asarray(out2 - out1)).max()) < 0.2
+
+
 def test_ulysses_sp_equivalence():
     model = CogVideoXTransformer3D(TINY_5B)
     x, enc, t = _inputs(F=4, H=8, W=8)

@@ -91,12 +91,15 @@ def test_dcp_throughput_experiment():
     remat escalation) epoch must not be slower than the bs=1 bucketed
     baseline on the same sample mix, and the accounting keys must exist."""
     mod = _load("experiments/dcp_throughput.py")
-    out = mod.main(["--tiny"])
+    # median of 3 runs: a single wall-clock ratio on the shared-CPU test
+    # host can dip to ~0.86 under parallel load, but the median of 3 is
+    # stable, so the gate stays at the strict 0.9 a genuine 15-20% DCP
+    # regression would trip; the real-chip measured ratios live in
+    # docs/dcp_throughput.json (5.0x / 1.68x) and are the load-bearing
+    # evidence.
+    outs = [mod.main(["--tiny"]) for _ in range(3)]
+    out = outs[0]
     assert out["dcp_epoch_s"] > 0
-    # wall-clock ratio on the shared-CPU test host: 0.8 allows scheduler
-    # noise under parallel load (observed 0.86 when a real-chip bench ran
-    # concurrently) while still failing on a genuine DCP regression; the
-    # real-chip measured ratios live in docs/dcp_throughput.json (5.0x /
-    # 1.68x) and are the load-bearing evidence.
-    assert out["dcp_vs_bucketed"] >= 0.8
+    ratios = sorted(o["dcp_vs_bucketed"] for o in outs)
+    assert ratios[1] >= 0.9, f"median DCP ratio regressed: {ratios}"
     assert {r["bucket"] for r in out["buckets"]} == {"144px1f", "144px16f"}

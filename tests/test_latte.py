@@ -45,6 +45,30 @@ def test_latte_sp_equivalence():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_latte_pab_fp8_cache_close_to_dense():
+    """fp8 PAB cache (family_bench's benched config) must store float8 slots
+    and keep the broadcast output within quantization error of dense."""
+    from videosys_tpu.core.pab import PABConfig, PABStepPlan
+
+    pab = PABConfig(
+        spatial_broadcast=True, spatial_threshold=(100, 800), spatial_range=2,
+        temporal_broadcast=True, temporal_threshold=(100, 800),
+        temporal_range=4, cross_broadcast=True, cross_threshold=(100, 800),
+        cross_range=6, cache_dtype="float8_e4m3fn")
+    x, t, y, kv_mask = _inputs()
+    m = LatteT2V(TINY, pab_config=pab)
+    S = (16 // TINY.patch_size) ** 2
+    cache = m.init_cache(2, 4, S)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    p = m.init(jax.random.key(0), x, t, y, kv_mask=kv_mask, pab_cache=cache)
+    out_dense, cache = m.apply(p, x, t, y, kv_mask=kv_mask, pab_cache=cache)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    m_b = LatteT2V(TINY, pab_config=pab, plan=PABStepPlan(
+        spatial=True, temporal=True, cross=True))
+    out_bcast, _ = m_b.apply(p, x, t, y, kv_mask=kv_mask, pab_cache=cache)
+    assert float(np.abs(np.asarray(out_bcast - out_dense)).max()) < 0.2
+
+
 # ------------------------- DDIM scheduler ------------------------------- #
 
 def test_ddim_matches_torch_diffusers_math():

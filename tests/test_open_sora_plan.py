@@ -148,6 +148,31 @@ def test_v120_pab_cache_equivalence():
                                atol=1e-5)
 
 
+def test_v120_pab_fp8_cache_close_to_dense():
+    """fp8 PAB cache (family_bench's benched config) must store float8 slots
+    and keep the broadcast output within quantization error of dense."""
+    cfg = tiny_v120()
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(100, 850),
+                    spatial_range=2, cross_broadcast=True,
+                    cross_threshold=(100, 850), cross_range=6,
+                    cache_dtype="float8_e4m3fn")
+    x = jax.random.normal(jax.random.key(1), (1, 4, 3, 16, 16))
+    enc = jax.random.normal(jax.random.key(2), (1, 8, 32))
+    t = jnp.array([500.0])
+
+    m_save = OpenSoraPlanV120Transformer(cfg, pab_config=pab)
+    cache = m_save.init_cache(1, 3 * 8 * 8)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    p = m_save.init(jax.random.key(0), x, enc, t, pab_cache=cache)
+    out_dense, cache = m_save.apply(p, x, enc, t, pab_cache=cache)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+
+    m_bcast = OpenSoraPlanV120Transformer(
+        cfg, pab_config=pab, plan=PABStepPlan(spatial=True, cross=True))
+    out_bcast, _ = m_bcast.apply(p, x, enc, t, pab_cache=cache)
+    assert float(np.abs(np.asarray(out_bcast - out_dense)).max()) < 0.2
+
+
 def test_v110_transformer_shapes():
     cfg = OpenSoraPlanV110Config(num_layers=2, num_heads=2, head_dim=24,
                                  caption_channels=32, sample_size=16,

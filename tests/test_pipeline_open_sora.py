@@ -351,11 +351,55 @@ def test_low_mem_cpu_offload_matches_dense():
     cpu0 = jax.devices("cpu")[0]
     for leaf in jax.tree.leaves(pipe.params):
         assert leaf.devices() == {cpu0}, "offload params must live on host"
+
+    # --- peak-device-bytes assertion: the POINT of cpu_offload is that at
+    # most one phase's params are device-resident at a time. Track every
+    # _exec_put fetch by weakref; at each fetch, bytes still alive from
+    # EARLIER fetches must be (nearly) zero — the previous phase's copies
+    # were freed before the next phase streamed in. Fails if phase
+    # streaming silently becomes resident (reference low-mem contract:
+    # tests/pipelines/open_sora/test_open_sora.py:30-37).
+    import gc
+    import weakref
+
+    total_bytes = sum(leaf.nbytes for leaf in jax.tree.leaves(pipe.params))
+    fetched_refs = []
+    fetch_log = []  # (new_bytes, alive_bytes_from_earlier_fetches)
+    orig_exec_put = pipe._exec_put
+
+    def tracking_exec_put(tree):
+        gc.collect()
+        alive = sum(r().nbytes for r in fetched_refs if r() is not None)
+        out = orig_exec_put(tree)
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "nbytes")]
+        fetch_log.append((sum(l.nbytes for l in leaves), alive))
+        for leaf in leaves:
+            try:
+                fetched_refs.append(weakref.ref(leaf))
+            except TypeError:
+                pass
+        return out
+
+    pipe._exec_put = tracking_exec_put
     v_off = off.generate("a red fox", **kw).video
+    pipe._exec_put = orig_exec_put
     np.testing.assert_array_equal(v_dense, v_off)
     # params are still host-resident after generate (phases fetched copies)
     for leaf in jax.tree.leaves(pipe.params):
         assert leaf.devices() == {cpu0}
+
+    assert fetch_log, "cpu_offload generate never streamed a phase"
+    peak = max(new + alive for new, alive in fetch_log)
+    # at least one fetch happens after the big transformer phase; earlier
+    # copies must be dead by then, so the peak concurrent fetched bytes
+    # stays strictly below the full resident param set
+    assert peak < 0.9 * total_bytes, (
+        f"phase streaming became resident: peak fetched {peak} of "
+        f"{total_bytes} total param bytes ({[a for _, a in fetch_log]})")
+    # after generate, every fetched device copy has been released
+    gc.collect()
+    leftover = sum(r().nbytes for r in fetched_refs if r() is not None)
+    assert leftover == 0, f"{leftover} fetched bytes still alive post-run"
 
 
 def test_batched_prompts_use_per_step_dispatch():

@@ -111,6 +111,28 @@ def test_vchitect_pab_cache_equivalence():
                                atol=1e-5)
 
 
+def test_vchitect_pab_fp8_cache_close_to_dense():
+    """fp8 PAB cache (family_bench's benched config) must store float8 slots
+    and keep the broadcast output within quantization error of dense."""
+    cfg = tiny_cfg()
+    pab = PABConfig(
+        spatial_broadcast=True, spatial_threshold=(100, 800), spatial_range=2,
+        temporal_broadcast=True, temporal_threshold=(100, 800),
+        temporal_range=4, cross_broadcast=True, cross_threshold=(100, 800),
+        cross_range=6, cache_dtype="float8_e4m3fn")
+    x, enc, pooled, t = _inputs()
+    m = VchitectXLTransformer(cfg, pab_config=pab)
+    cache = m.init_cache(1, 4, 64, 6)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    p = m.init(jax.random.key(0), x, enc, pooled, t, pab_cache=cache)
+    out_dense, cache = m.apply(p, x, enc, pooled, t, pab_cache=cache)
+    assert {str(a.dtype) for a in jax.tree.leaves(cache)} == {"float8_e4m3fn"}
+    m_b = VchitectXLTransformer(cfg, pab_config=pab, plan=PABStepPlan(
+        spatial=True, temporal=True, cross=True))
+    out_bcast, _ = m_b.apply(p, x, enc, pooled, t, pab_cache=cache)
+    assert float(np.abs(np.asarray(out_bcast - out_dense)).max()) < 0.2
+
+
 # --------------------------------------------------------------------------- #
 def _tiny_pipeline_cfg(**kw):
     return VchitectConfig(

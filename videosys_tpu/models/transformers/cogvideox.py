@@ -221,7 +221,6 @@ class CogVideoXBlock(nn.Module):
 class CogVideoXScannedBlock(nn.Module):
     config: CogVideoXConfig
     plan: PABStepPlan = PABStepPlan()
-    pab_on: bool = False
     cache_dtype: Any = None
 
     @nn.compact
@@ -327,7 +326,6 @@ class CogVideoXTransformer3D(nn.Module):
         )
         (xs, enc_s, new_cache), _ = Scan(
             config=cfg, plan=self.plan,
-            pab_on=self.pab_config is not None,
             cache_dtype=self._cache_dtype(), name="blocks",
         )((xe, enc, cache), (jnp.arange(cfg.num_layers),), t_emb, rope)
 
