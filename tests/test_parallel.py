@@ -326,3 +326,83 @@ def test_zero1_grad_constraint_reduces_collectives(capfd):
     # measured at this config: ~28% fewer all-reduce bytes (the dW
     # all-reduces land pre-sliced into the moment layout)
     assert ar_new < ar_old * 0.9, (ar_new, ar_old)
+
+
+def test_zero3_param_partitioning():
+    """ZeRO-3 (params device-sharded, `make_train_step(zero3=True)` +
+    `zero3_shardings`) must close the scan-body dW all-reduce gap that
+    ZeRO-1's boundary constraint cannot reach (train_step.py honest-limit
+    note; reference behavior: DeepSpeed `reduce_scatter: true`,
+    examples/training/open_sora/train.py:231-239): with the stacked scan
+    kernels sharded, the forward all-gathers each layer's weights and the
+    AD transpose emits reduce-scatters of dW INSIDE the scan body.
+
+    Measured outcome on this XLA (gated here; XL-width A/B in
+    docs/performance.md): the conversion is a MEMORY win, not a traffic
+    win — GSPMD partitions the sharded-weight matmuls without emitting a
+    literal reduce-scatter op (it picks partial-matmul + all-reduce forms),
+    so per-step collective bytes stay ~flat while the params' argument
+    footprint drops by ~the sharded fraction. Gates: (a) numerics identical
+    to ZeRO-1 on the same inputs; (b) collective traffic does not regress
+    (all-reduce + all-gather bytes within 1.3x of ZeRO-1's); (c) params
+    argument bytes shrink (the point of param partitioning)."""
+    import videosys_tpu.training.train_step as ts
+    from videosys_tpu.models.transformers.stdit3 import STDiT3, STDiT3Config
+    from videosys_tpu.schedulers.rflow import RFlowConfig, RFlowScheduler
+    from videosys_tpu.utils.hlo import collective_account
+
+    mesh = build_mesh(ParallelConfig(dp_size=2, cp_size=1, sp_size=4))
+    # hidden 128 so the matmul kernels clear ZERO3_MIN_SHARD_BYTES (64 KiB)
+    # and actually shard; smaller leaves stay replicated by design
+    config = STDiT3Config(depth=2, hidden_size=128, num_heads=4,
+                          caption_channels=32, model_max_length=8)
+    model = STDiT3(config, remat=True)
+    scheduler = RFlowScheduler(RFlowConfig(use_timestep_transform=True))
+    tx = ts.make_optimizer(lr=1e-4, warmup_steps=10)
+    B, T, H, W, L = 2, 4, 8, 8, 8
+    rng = jax.random.key(7)
+    batch = {"x": jax.random.normal(rng, (B, 4, T, H, W)),
+             "y": jax.random.normal(rng, (B, L, config.caption_channels)),
+             "kv_mask": jnp.ones((B, L), bool),
+             "fps": jnp.full((B,), 24.0)}
+    params = model.init(jax.random.key(0), batch["x"][:1], jnp.zeros((1,)),
+                        batch["y"][:1], kv_mask=batch["kv_mask"][:1],
+                        fps=batch["fps"][:1], height=64.0, width=64.0)
+    state = ts.create_train_state(params, tx)
+    batch_sh = {k: NamedSharding(mesh, P(("dp", "cp"))) for k in batch}
+    rng_sh = NamedSharding(mesh, P())
+    step_rng = jax.device_put(jax.random.key(1), rng_sh)
+
+    results = {}
+    for mode in ("zero1", "zero3"):
+        zero3 = mode == "zero3"
+        state_sh = (ts.zero3_shardings if zero3
+                    else ts.zero1_shardings)(mesh, state)
+        step = ts.make_train_step(model, scheduler, tx, height=64.0,
+                                  width=64.0, num_frames=17, zero3=zero3)
+        with use_mesh(mesh):
+            jitted = jax.jit(step, in_shardings=(state_sh, rng_sh, batch_sh))
+            compiled = jitted.lower(
+                state, jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rng_sh),
+                batch).compile()
+            st = jax.device_put(state, state_sh)
+            b = {k: jax.device_put(v, batch_sh[k]) for k, v in batch.items()}
+            _, metrics = jitted(st, step_rng, b)
+        results[mode] = (collective_account(compiled.as_text()),
+                         compiled.memory_analysis(),
+                         float(metrics["loss"]), float(metrics["grad_norm"]))
+
+    acct1, mem1, loss1, gn1 = results["zero1"]
+    acct3, mem3, loss3, gn3 = results["zero3"]
+    # (a) same math — the all-gather/reduce-scatter pair is exact
+    np.testing.assert_allclose(loss3, loss1, rtol=2e-5)
+    np.testing.assert_allclose(gn3, gn1, rtol=2e-4)
+    # (b) traffic stays bounded: param partitioning must not blow up the
+    # reduction bytes (GSPMD may legally re-shape dW reductions; a >1.3x
+    # regression means it fell off the partial-matmul path)
+    moved1 = acct1.bytes("all-reduce") + acct1.bytes("all-gather")
+    moved3 = acct3.bytes("all-reduce") + acct3.bytes("all-gather")
+    assert moved3 <= 1.3 * moved1, (acct3.bytes_by_kind, acct1.bytes_by_kind)
+    # (c) sharded params shrink the argument footprint
+    assert mem3.argument_size_in_bytes < mem1.argument_size_in_bytes, (
+        mem3.argument_size_in_bytes, mem1.argument_size_in_bytes)

@@ -148,7 +148,10 @@ class CogVideoXPipeline(VideoSysPipeline):
             model.init, jax.random.key(seed), dummy_x, dummy_enc,
             jnp.zeros((1,)))
         p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
-        return {"transformer": p_t, "vae": p_v}
+        from videosys_tpu.utils.params import cast_float_params
+        # half-precision inference weights (see cast_float_params)
+        return cast_float_params({"transformer": p_t, "vae": p_v},
+                                 self.dtype)
 
     def _get_model_fn(self, plan):
         pab = self._config.pab_config if self._config.enable_pab else None

@@ -144,7 +144,10 @@ class LattePipeline(VideoSysPipeline):
         p_v = loaded.get("vae") or jit_init(
             self.vae.init, jax.random.key(seed + 1),
             jnp.zeros((1, 16, 16, 3), jnp.float32), jax.random.key(0))
-        return {"transformer": p_t, "vae": p_v}
+        from videosys_tpu.utils.params import cast_float_params
+        # half-precision inference weights (see cast_float_params)
+        return cast_float_params({"transformer": p_t, "vae": p_v},
+                                 self.dtype)
 
     def _get_step_fn(self, plan, guidance_scale: float, a_t: float, a_prev: float):
         key = (plan, guidance_scale, a_t, a_prev)

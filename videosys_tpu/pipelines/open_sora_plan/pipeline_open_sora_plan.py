@@ -191,6 +191,8 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         from videosys_tpu.utils.checkpoint import require_weights, try_load_params
         from videosys_tpu.utils.jit import jit_init
 
+        from videosys_tpu.utils.params import cast_float_params
+
         family = "latte" if self.version == "v110" else "osp_v120"
         loaded = try_load_params(self._config, family=family,
                                  default_depth=28 if self.version == "v110"
@@ -198,7 +200,9 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
         require_weights(loaded, self._config)
         if "transformer" in loaded:
             p_v = loaded.get("vae") or self.vae.init(jax.random.key(seed + 1))
-            return {"transformer": loaded["transformer"], "vae": p_v}
+            return cast_float_params(
+                {"transformer": loaded["transformer"], "vae": p_v},
+                self.dtype)
         mc = self.model_config
         model = self.model_cls(mc)
         p = mc.patch_size
@@ -212,7 +216,10 @@ class OpenSoraPlanPipeline(VideoSysPipeline):
                            jnp.zeros((1, 4, mc.caption_channels)),
                            jnp.zeros((1,)))
         p_v = self.vae.init(jax.random.key(seed + 1))
-        return {"transformer": p_t, "vae": p_v}
+        # half-precision inference weights: OSP v1.2's 2.7B params at fp32
+        # are 10.3 GiB of arguments — compile-OOMs a 16 GiB v5e (measured)
+        return cast_float_params({"transformer": p_t, "vae": p_v},
+                                 self.dtype)
 
     def _get_eps_fn(self, plan, guidance_scale: float):
         """Jitted CFG model eval returning epsilon; scheduler math runs

@@ -175,7 +175,10 @@ class VchitectXLPipeline(VideoSysPipeline):
         p_v = loaded.get("vae") or jit_init(
             self.vae.init, jax.random.key(seed + 1),
             jnp.zeros((1, 16, 16, 3), jnp.float32), jax.random.key(0))
-        return {"transformer": p_t, "vae": p_v}
+        from videosys_tpu.utils.params import cast_float_params
+        # half-precision inference weights (see cast_float_params)
+        return cast_float_params({"transformer": p_t, "vae": p_v},
+                                 self.dtype)
 
     def _get_v_fn(self, plan):
         """Jitted single-branch velocity eval (the reference runs uncond and

@@ -34,6 +34,7 @@ from videosys_tpu.training.train_step import (
     make_optimizer,
     make_train_step,
     zero1_shardings,
+    zero3_shardings,
 )
 
 logger = logging.getLogger(__name__)
@@ -97,6 +98,12 @@ class TrainConfig:
     # `tracker` for a dependency-free hook (tested with a list appender)
     wandb_project: Optional[str] = None
     tracker: Optional[Any] = None
+    # ZeRO-3: shard params (not just moments) over all mesh devices — the
+    # forward all-gathers each scan layer's weights and the backward
+    # reduce-scatters dW (train_step.make_train_step(zero3=True)); frees
+    # (1-1/N) of param HBM. Incompatible with sp_balance (its cross-mesh
+    # grad accumulation relies on the replicated pin).
+    zero3: bool = False
 
 
 def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
@@ -126,6 +133,13 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
     elif cfg.dp_size * cfg.sp_size > 1:
         mesh = par.build_mesh(par.ParallelConfig(cfg.dp_size, 1, cfg.sp_size))
 
+    if cfg.zero3 and cfg.sp_balance:
+        raise ValueError(
+            "zero3 shards params per-mesh; sp_balance accumulates grads "
+            "across pool meshes via the replicated pin — use one or the "
+            "other")
+    shardings_fn = zero3_shardings if cfg.zero3 else zero1_shardings
+
     if cfg.dynamic_recompute and not cfg.dynamic_profile:
         raise ValueError(
             "dynamic_recompute picks the remat policy during the DCP "
@@ -153,7 +167,8 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             t_lat, h_lat, w_lat = max(1, T // 17 * 5) if T > 1 else 1, H // 8, W // 8
             fn = make_train_step(models_by_policy[policy], scheduler, tx,
                                  float(H), float(W), num_frames=int(T),
-                                 class_dropout_prob=cfg.class_dropout_prob)
+                                 class_dropout_prob=cfg.class_dropout_prob,
+                                 zero3=cfg.zero3)
             x = jnp.zeros((bs, cfg.model.in_channels, t_lat, h_lat, w_lat))
             y = jnp.zeros((bs, 8, cfg.model.caption_channels))
             batch = {"x": x, "y": y, "fps": jnp.full((bs,), 24.0)}
@@ -238,7 +253,7 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             # moments; identical physical layout for every pool mesh
             anchor = pool.mesh_for_sp(1) if pool is not None else mesh
             if anchor is not None:
-                state = jax.device_put(state, zero1_shardings(anchor, state))
+                state = jax.device_put(state, shardings_fn(anchor, state))
             state_placed = True
 
     def _build_batch(plan, plan_mesh, lat_shape, step_seed):
@@ -419,13 +434,15 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
                 fn = make_train_step(
                     models_by_policy[pol], scheduler, tx, float(H), float(W),
                     num_frames=int(T), gas=gas,
-                    class_dropout_prob=cfg.class_dropout_prob)
+                    class_dropout_prob=cfg.class_dropout_prob,
+                    zero3=cfg.zero3)
                 if plan_mesh is not None:
-                    # pin the output layout to the canonical ZeRO-1 placement
-                    # (replicated params, all-device-sharded moments) so every
+                    # pin the output layout to the canonical ZeRO placement
+                    # (params replicated under ZeRO-1, device-sharded under
+                    # ZeRO-3; moments all-device-sharded either way) so every
                     # step ends in the SAME physical layout and mesh switches
                     # stay zero-copy
-                    state_sh = zero1_shardings(plan_mesh, state)
+                    state_sh = shardings_fn(plan_mesh, state)
                     rep = jsh.NamedSharding(plan_mesh, jsh.PartitionSpec())
                     step_fns[key] = jax.jit(
                         fn, donate_argnums=(0,),

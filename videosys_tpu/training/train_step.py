@@ -103,6 +103,17 @@ def _shard_grads_zero1(grads):
         lambda g: jax.lax.with_sharding_constraint(g, shard_of(g)), grads)
 
 
+def _pin_params_zero3(params):
+    """Pin updated params to the thresholded ZeRO-3 layout
+    (`zero3_shardings`): kernels stay 1/N-sliced, small leaves replicated."""
+    mesh = par.active_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return params
+    shard_of = _zero3_param_leaf_sharding(mesh)
+    return jax.tree.map(
+        lambda p: jax.lax.with_sharding_constraint(p, shard_of(p)), params)
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
                    warmup_steps: int = 1000, grad_clip: Optional[float] = None):
     """AdamW with linear warmup (training/lr_schedulers/linear_warmup_open_sora.py:4
@@ -156,7 +167,7 @@ def _make_loss_fn(model: STDiT3, scheduler: RFlowScheduler,
 def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
                     height: float, width: float,
                     num_frames: Optional[int] = None, gas: int = 1,
-                    class_dropout_prob: float = 0.1):
+                    class_dropout_prob: float = 0.1, zero3: bool = False):
     """Returns a jittable (state, rng, batch) -> (state, metrics) function.
 
     batch: dict(x [B,C,T,H,W] latents, y [B,L,Dc], kv_mask [B,L], fps [B],
@@ -167,11 +178,22 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
     (core/dcp/profiler.py:824-834, boundary at gas == total_gas-1).
 
     ``num_frames`` is the bucket's *pixel* frame count, required when the
-    scheduler warps training timesteps (use_timestep_transform)."""
+    scheduler warps training timesteps (use_timestep_transform).
+
+    ``zero3=True`` keeps the PARAMS device-sharded in the ZeRO-1 moment
+    layout too (pass `zero3_shardings` as the state sharding): the forward
+    all-gathers each stacked scan-layer's weights inside the scan body, and
+    the transposed op in the backward is a reduce-scatter of dW into the
+    sharded layout — the scan-body all-reduce that a boundary constraint
+    cannot reach under ZeRO-1 (see `_shard_grads_zero1`'s honest-limit note)
+    becomes a reduce-scatter by construction, matching the reference's
+    DeepSpeed `reduce_scatter: true` (train.py:231-239) at ZeRO-3 semantics
+    (param partitioning + forward all-gather)."""
 
     loss_fn = _make_loss_fn(model, scheduler, height, width, num_frames,
                             class_dropout_prob)
     grad_fn = jax.value_and_grad(loss_fn)
+    pin_params = _pin_params_zero3 if zero3 else _pin_grads_replicated
 
     def train_step(state: TrainState, rng, batch):
         if gas == 1:
@@ -194,9 +216,11 @@ def make_train_step(model: STDiT3, scheduler: RFlowScheduler, tx,
             loss = losses.mean()
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        # params stay replicated (ZeRO-1: shard only optimizer state) — this
-        # constraint is the one param-bytes all-gather DeepSpeed also pays
-        new_params = _pin_grads_replicated(new_params)
+        # ZeRO-1: params stay replicated (shard only optimizer state) — this
+        # constraint is the one param-bytes all-gather DeepSpeed also pays.
+        # ZeRO-3: params stay sliced in the moment layout; the elementwise
+        # update runs fully local and the forward re-gathers lazily per layer.
+        new_params = pin_params(new_params)
         gnorm = optax.global_norm(grads)
         return (
             TrainState(new_params, new_opt, state.step + 1),
@@ -264,6 +288,54 @@ def zero1_shardings(mesh, state: TrainState):
     param_sh = jax.tree.map(lambda _: replicated, state.params)
     opt_sh = jax.tree.map(opt_shard, state.opt_state)
     return TrainState(param_sh, opt_sh, replicated)
+
+
+# Only param leaves at least this large are sharded under ZeRO-3. The big
+# matmul kernels hold ~all param bytes; sharding the small leaves too
+# (biases, norms, [6,C] modulation tables) buys nothing and trips GSPMD's
+# "involuntary full rematerialization" fallback on their stat-sized uses
+# inside the scan body (observed on the dp2xsp4 fake mesh).
+ZERO3_MIN_SHARD_BYTES = 1 << 16
+
+
+def _zero3_param_leaf_sharding(mesh, min_shard_bytes=ZERO3_MIN_SHARD_BYTES):
+    shard_of = zero1_leaf_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+
+    def param_shard(x):
+        # bytes from shape/dtype, not .nbytes: ShapeDtypeStruct leaves (the
+        # AOT-compile path) must classify identically to concrete arrays
+        if not hasattr(x, "shape") or not hasattr(x, "dtype"):
+            return replicated
+        nbytes = int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+        if nbytes < min_shard_bytes:
+            return replicated
+        return shard_of(x)
+
+    return param_shard
+
+
+def zero3_shardings(mesh, state: TrainState,
+                    min_shard_bytes=ZERO3_MIN_SHARD_BYTES):
+    """ZeRO-3: shard PARAMS (leaves >= min_shard_bytes — the matmul kernels,
+    which hold ~all the bytes) in the `zero1_leaf_sharding` layout, moments
+    as under ZeRO-1 (reference semantics: DeepSpeed stage-3 param
+    partitioning; behavior target is its stage-1 `reduce_scatter: true`,
+    train.py:231-239, which ZeRO-1 + boundary constraints cannot express for
+    scan-body dW — see `make_train_step(zero3=True)`).
+
+    Per-chip cost model vs `zero1_shardings` on an N-device mesh:
+    param HBM P -> ~P/N (frees ~(1-1/N)P); dp grad traffic: the scan-body dW
+    all-reduce (2(1-1/N)P per step) becomes a reduce-scatter ((1-1/N)P) plus
+    per-layer weight all-gathers in forward/backward ((1-1/N)P each, emitted
+    inside the scan body where they overlap that layer's compute). Measured
+    A/B: tests/test_parallel.py::test_zero3_param_partitioning and
+    the MULTICHIP dryrun artifact's zero3 leg."""
+    param_shard = _zero3_param_leaf_sharding(mesh, min_shard_bytes)
+    opt_shard = zero1_leaf_sharding(mesh)
+    return TrainState(jax.tree.map(param_shard, state.params),
+                      jax.tree.map(opt_shard, state.opt_state),
+                      NamedSharding(mesh, P()))
 
 
 def zero1_leaf_sharding(mesh):
