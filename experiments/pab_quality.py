@@ -153,6 +153,14 @@ def video_ssim(a: np.ndarray, b: np.ndarray) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=16000)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="cosine-decay the LR to lr/10 over the run (v3: "
+                         "the constant-LR v2 fit plateaued short of scene "
+                         "fidelity)")
     ap.add_argument("--guidance", type=float, default=4.0)
     ap.add_argument("--out", default="docs/pab_quality.json")
     ap.add_argument("--seed", type=int, default=0)
@@ -174,7 +182,8 @@ def main():
     from videosys_tpu.pipelines.open_sora.data_process import text_preprocessing
     from videosys_tpu.training.train import TrainConfig, run_training
 
-    mc = STDiT3Config(depth=8, hidden_size=128, num_heads=4,
+    mc = STDiT3Config(depth=args.depth, hidden_size=args.hidden,
+                      num_heads=args.heads,
                       caption_channels=32, model_max_length=8,
                       patch_size=(1, 2, 2))
 
@@ -194,7 +203,8 @@ def main():
         model=mc,
         bucket_config={"144p": {17: (1.0, 8)}},
         mask_ratios=None,
-        lr=2e-3, warmup_steps=100, grad_clip=1.0, ema_decay=0.995,
+        lr=args.lr, warmup_steps=100, grad_clip=1.0, ema_decay=0.995,
+        lr_decay_steps=args.steps if args.lr_decay else None,
         epochs=10_000, max_steps=args.steps,
         log_every=min(500, max(1, args.steps // 2)),
         dataset_size=len(ds), seed=args.seed,
@@ -323,11 +333,14 @@ def main():
               f"dB, ssim {r['video_ssim']}", flush=True)
 
     rec = {
-        "protocol": "v2: trained STDiT3 d8/h128 on 16 compositional "
-                    "(shape x motion) scenes with 4 HELD-OUT combos, rflow "
-                    f"+ caption dropout, {args.steps} steps; dense vs PAB, "
-                    "per-prompt seeds, 30 steps, latent PSNR peak=dense "
-                    "dynamic range; SSIM = 11x11-gaussian frame SSIM",
+        "protocol": f"v3: trained STDiT3 d{args.depth}/h{args.hidden} on 16 "
+                    "compositional (shape x motion) scenes with 4 HELD-OUT "
+                    f"combos, rflow + caption dropout, {args.steps} steps, "
+                    f"lr {args.lr}"
+                    + (" cosine-decayed to lr/10" if args.lr_decay else "")
+                    + "; dense vs PAB, per-prompt seeds, 30 steps, latent "
+                    "PSNR peak=dense dynamic range; SSIM = 11x11-gaussian "
+                    "frame SSIM",
         "lpips": "unavailable: zero-egress image has no pretrained "
                  "perceptual net (reference protocol scores it via the "
                  "lpips package, eval/pab/common_metrics/eval.py)",
@@ -342,7 +355,12 @@ def main():
                                       for c, v in fidelity.items()},
         "gate": "latent PSNR >= 35 dB at some PAB config (on a model whose "
                 "dense output matches the composed scenes)",
-        "gate_met": any(r["latent_psnr_db"] >= 35.0 for r in results.values()),
+        # validity precondition: the PSNR columns only evidence the gate if
+        # the dense model actually generates the trained scenes (VERDICT r4
+        # Weak #2 — v2 shipped gate_met=true with fidelity 0.32 undisclosed)
+        "fidelity_valid": fid_trained >= 0.9,
+        "gate_met": bool(fid_trained >= 0.9 and any(
+            r["latent_psnr_db"] >= 35.0 for r in results.values())),
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

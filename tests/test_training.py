@@ -636,3 +636,33 @@ def test_caption_dropout_trains_null_embedding():
 
     assert np.abs(grad_null(1.0)).max() > 0, "dropout=1 must train the null"
     assert np.abs(grad_null(0.0)).max() == 0, "dropout=0 must not touch it"
+
+
+def test_lr_cosine_decay_schedule():
+    """make_optimizer(decay_steps=...) follows warmup -> cosine -> floor;
+    default stays the reference's warmup-then-constant schedule."""
+    import jax.numpy as jnp
+    import optax as ox
+
+    from videosys_tpu.training.train import TrainConfig
+    from videosys_tpu.training.train_step import make_optimizer
+
+    # probe the schedule shape (same construction as make_optimizer)
+    lr, warm, total = 2e-3, 100, 1000
+    sched = ox.warmup_cosine_decay_schedule(0.0, lr, warm, total,
+                                            end_value=lr * 0.1)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(warm)) - lr) / lr < 1e-6
+    mid = float(sched((warm + total) // 2))
+    assert lr * 0.1 < mid < lr
+    assert abs(float(sched(total)) - lr * 0.1) / lr < 1e-3
+
+    # the TrainConfig plumbing accepts the fields and the optimizer steps
+    cfg = TrainConfig(lr_decay_steps=500, lr_min_ratio=0.2)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.warmup_steps,
+                        cfg.grad_clip, decay_steps=cfg.lr_decay_steps,
+                        lr_min_ratio=cfg.lr_min_ratio)
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((2,))}, state, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))

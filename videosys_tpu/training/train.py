@@ -104,6 +104,10 @@ class TrainConfig:
     # (1-1/N) of param HBM. Incompatible with sp_balance (its cross-mesh
     # grad accumulation relies on the replicated pin).
     zero3: bool = False
+    # cosine LR decay to lr * lr_min_ratio over lr_decay_steps after warmup
+    # (None = the reference's warmup-then-constant schedule)
+    lr_decay_steps: Optional[int] = None
+    lr_min_ratio: float = 0.1
 
 
 def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
@@ -152,7 +156,9 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
     model = models_by_policy[cfg.remat_policy]
     scheduler = RFlowScheduler(RFlowConfig(
         use_timestep_transform=True, sample_method="logit-normal"))
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.warmup_steps, cfg.grad_clip)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.warmup_steps,
+                        cfg.grad_clip, decay_steps=cfg.lr_decay_steps,
+                        lr_min_ratio=cfg.lr_min_ratio)
 
     if dataset is None:
         dataset = DummyVariableVideoTextDataset(size=cfg.dataset_size,
@@ -319,6 +325,12 @@ def run_training(cfg: TrainConfig, dataset=None, text_embed_fn=None,
             loss_sum += loss
             loss_n += 1
             lr = cfg.lr * min(1.0, global_step / max(1, cfg.warmup_steps))
+            if cfg.lr_decay_steps and global_step > cfg.warmup_steps:
+                import math
+                frac = min(1.0, (global_step - cfg.warmup_steps)
+                           / max(1, cfg.lr_decay_steps - cfg.warmup_steps))
+                lo = cfg.lr * cfg.lr_min_ratio
+                lr = lo + (cfg.lr - lo) * 0.5 * (1 + math.cos(math.pi * frac))
             if tracker is not None:
                 tracker({"step": global_step, "loss": loss,
                          "avg_loss": loss_sum / loss_n, "lr": lr})

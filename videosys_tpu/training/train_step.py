@@ -115,10 +115,20 @@ def _pin_params_zero3(params):
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
-                   warmup_steps: int = 1000, grad_clip: Optional[float] = None):
+                   warmup_steps: int = 1000, grad_clip: Optional[float] = None,
+                   decay_steps: Optional[int] = None,
+                   lr_min_ratio: float = 0.1):
     """AdamW with linear warmup (training/lr_schedulers/linear_warmup_open_sora.py:4
-    + train.py AdamW betas/eps defaults)."""
-    sched = optax.linear_schedule(0.0, lr, warmup_steps)
+    + train.py AdamW betas/eps defaults). With ``decay_steps`` the post-warmup
+    LR follows a cosine from ``lr`` down to ``lr * lr_min_ratio`` — an
+    extension past the reference's warmup-only scheduler inventory for runs
+    that must converge tightly (e.g. the PAB quality-protocol fits)."""
+    if decay_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, max(decay_steps, warmup_steps + 1),
+            end_value=lr * lr_min_ratio)
+    else:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
     tx = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
     if grad_clip:
