@@ -272,8 +272,8 @@ def main():
         "pab_psnr_note": "random-init floor; trained-weights gate evidence "
                          "in docs/pab_quality.json",
         # heavy-PAB leg (s3,t6,c8,mlp): the aggressive Pareto point, quality-
-        # evidenced at 49.4 dB latent PSNR on trained weights
-        # (docs/pab_quality.json) — still >=14 dB above the 35 dB gate
+        # evidenced at 44.4 dB mean latent PSNR on trained weights
+        # (docs/pab_quality.json v3) — ~9 dB above the 35 dB gate on mean
         "pab_heavy_latency_s": round(dt_hv, 3) if dt_hv else None,
         "pab_heavy_speedup": round(dt / dt_hv, 3) if dt_hv else None,
         "pab_heavy_denoise_speedup": (

@@ -116,6 +116,15 @@ def main():
             except Exception as e:
                 print(f"bucket={bname} policy={policy}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}")
+                if args.out:
+                    import json
+
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps({
+                            "bucket": bname, "bs": B, "policy": policy,
+                            "flash": args.force_flash, "depth": args.depth,
+                            "status": f"compile_failed: {type(e).__name__}: "
+                                      f"{str(e)[:120]}"}) + "\n")
                 continue
             fl = _train_flops(mc, B, T_tok, S_tok, args.kv)
             tfs = fl / dt / 1e12
